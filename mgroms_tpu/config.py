@@ -1,0 +1,142 @@
+"""Solver configuration — TPU-native equivalent of the reference namelist system.
+
+Reference: ``src/mg_namelist.f90`` (parameters + ``nhparam`` namelist group,
+lines 11-50; reader at :55-127).  The reference reads a Fortran namelist file
+``nh_namelist``; we support the same file format through
+:func:`read_namelist` so that shipped configs keep working, but the primary
+interface is the immutable :class:`SolverConfig` dataclass — the config is
+trace-time static metadata, which is exactly what XLA wants (every flag below
+changes the compiled program, never a runtime branch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """All solver tunables (defaults match ``mg_namelist.f90:11-35``)."""
+
+    # smallest local horizontal dimension before coarse-level agglomeration
+    # (reference `nsmall`, mg_namelist.f90:11)
+    nsmall: int = 8
+
+    # smoothing schedule (mg_namelist.f90:13-15)
+    ns_coarsest: int = 40
+    ns_pre: int = 3
+    ns_post: int = 2
+
+    # outer-loop convergence control (mg_namelist.f90:17-18)
+    solver_prec: float = 1.0e-6
+    solver_maxiter: int = 50
+
+    # 'real' keeps the extra bottom-level horizontal-diagonal couplings
+    # (mg_namelist.f90:20; used at mg_relax.f90:271-276)
+    cmatrix: str = "real"
+
+    # 'GS' | 'RB' | 'FC' (mg_namelist.f90:22-25)
+    relax_method: str = "RB"
+
+    # prolongation: 'nearest' | 'linear' (mg_namelist.f90:27)
+    interp_type: str = "linear"
+
+    # restriction: 'avg' | 'linear' (mg_namelist.f90:29)
+    restrict_type: str = "avg"
+
+    # 8:1 vertical coarsening at level 2 (mg_namelist.f90:31)
+    aggressive: bool = False
+
+    # diagnostics field dumps (mg_namelist.f90:33)
+    netcdf_output: bool = False
+
+    # boundary land/sea mask folded into matrix coefficients
+    # (mg_namelist.f90:35)
+    bmask: bool = False
+
+    # ---- TPU-native extensions (no reference equivalent) ----
+    # dtype for the solve. float64 reproduces the double-precision reference
+    # histories; float32 is the TPU-native fast path.
+    dtype: str = "float64"
+    # use Pallas TPU kernels for the hot ops when available
+    use_pallas: bool = False
+    # number of F-cycles fused per host-side convergence check (1 == reference
+    # behaviour: one ALLREDUCE-synced residual per cycle, mg_solvers.f90:61-79)
+    cycles_per_check: int = 1
+
+    def __post_init__(self):
+        if self.interp_type == "linear" and self.restrict_type == "linear":
+            # mg_namelist.f90:95-98
+            raise ValueError("linear interp + linear restrict is not permitted")
+        if self.relax_method not in ("GS", "RB", "FC", "Gauss-Seidel",
+                                     "Red-Black", "Four-Color"):
+            raise ValueError(f"unknown relax_method {self.relax_method!r}")
+        if self.cmatrix not in ("real", "simple"):
+            raise ValueError(f"unknown cmatrix {self.cmatrix!r}")
+        if self.interp_type not in ("linear", "nearest"):
+            raise ValueError(f"unknown interp_type {self.interp_type!r}")
+        if self.restrict_type not in ("avg", "linear"):
+            raise ValueError(f"unknown restrict_type {self.restrict_type!r}")
+
+    @property
+    def relax_kind(self) -> str:
+        """Canonical relaxation method name: 'GS', 'RB' or 'FC'."""
+        return {"Gauss-Seidel": "GS", "Red-Black": "RB",
+                "Four-Color": "FC"}.get(self.relax_method, self.relax_method)
+
+
+_NML_BOOL = {".true.": True, ".t.": True, "t": True,
+             ".false.": False, ".f.": False, "f": False}
+
+# namelist key -> dataclass field (identical names in the reference group,
+# mg_namelist.f90:37-50)
+_NML_KEYS = {
+    "solver_prec", "solver_maxiter", "nsmall", "ns_coarsest", "ns_pre",
+    "ns_post", "cmatrix", "relax_method", "interp_type", "restrict_type",
+    "netcdf_output", "aggressive", "bmask",
+}
+
+
+def read_namelist(path: str, base: Optional[SolverConfig] = None) -> SolverConfig:
+    """Parse a Fortran ``&nhparam`` namelist file into a :class:`SolverConfig`.
+
+    Accepts the exact file format the reference reads
+    (``mg_namelist.f90:55-127``; example in ``src/nh_namelist``).  Unknown
+    keys raise; values use Fortran literal syntax (``.true.``, ``1.d-12``).
+    """
+    base = base or SolverConfig()
+    import os
+    if not os.path.exists(path):
+        # the reference proceeds with defaults when the file is absent
+        # (mg_namelist.f90:76-86)
+        return base
+    text = open(path).read()
+    m = re.search(r"&nhparam(.*?)/", text, re.S | re.I)
+    if not m:
+        return base
+    updates = {}
+    for line in m.group(1).splitlines():
+        line = line.split("!")[0].strip().rstrip(",")
+        if not line or "=" not in line:
+            continue
+        key, val = (s.strip() for s in line.split("=", 1))
+        key = key.lower()
+        if key not in _NML_KEYS:
+            raise ValueError(f"unknown nhparam key {key!r} in {path}")
+        val = val.strip().strip("'\"")
+        lv = val.lower()
+        if lv in _NML_BOOL:
+            parsed = _NML_BOOL[lv]
+        else:
+            try:
+                parsed = int(val)
+            except ValueError:
+                try:
+                    # Fortran double literals: 1.d-12
+                    parsed = float(lv.replace("d", "e"))
+                except ValueError:
+                    parsed = val
+        updates[key] = parsed
+    return dataclasses.replace(base, **updates)

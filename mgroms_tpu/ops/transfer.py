@@ -1,0 +1,155 @@
+"""Inter-grid transfers: restriction and prolongation.
+
+TPU-native port of ``src/mg_intergrids.f90``.  All functions act on
+interior-only arrays; halo handling (the reference's fill_halo calls at
+:68 and :224) belongs to the caller via ``extend``.
+
+Restriction is the plain sum of the 8 children (no 1/8: the volume scaling
+is absorbed by the re-discretized coarse operator — fine2coarse_3D,
+mg_intergrids.f90:139-162).  Prolongation is trilinear (bilinear in the
+horizontal x linear in z, with a bilinear-only bottom row and a halved top
+row for the Dirichlet free surface — coarse2fine_3D_linear :366-450) or
+8-way nearest injection (:336-363).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def restrict_3d(r: jnp.ndarray) -> jnp.ndarray:
+    """Coarse = sum of the 8 fine children (mg_intergrids.f90:139-162).
+    Also covers the 3D->2D case (fine nz==2 -> coarse nz==1, :124-134)."""
+    nz, ny, nx = r.shape
+    return (r.reshape(nz // 2, 2, ny // 2, 2, nx // 2, 2)
+            .sum(axis=(1, 3, 5)))
+
+
+def restrict_2d(r: jnp.ndarray) -> jnp.ndarray:
+    """2-D levels: coarse = sum of the 4 fine children
+    (fine2coarse_2D, mg_intergrids.f90:104-122)."""
+    nz, ny, nx = r.shape
+    assert nz == 1
+    return r.reshape(1, ny // 2, 2, nx // 2, 2).sum(axis=(2, 4))
+
+
+def restrict_aggressive(r: jnp.ndarray) -> jnp.ndarray:
+    """8:1 vertical-only averaging (fine2coarse_aggressive,
+    mg_intergrids.f90:75-101): mean of 8 vertically stacked cells."""
+    nz, ny, nx = r.shape
+    return 0.125 * r.reshape(nz // 8, 8, ny, nx).sum(axis=1)
+
+
+def restrict(r: jnp.ndarray, aggressive: bool = False) -> jnp.ndarray:
+    if aggressive:
+        return restrict_aggressive(r)
+    if r.shape[0] == 1:
+        return restrict_2d(r)
+    return restrict_3d(r)
+
+
+def _interleave(a0: jnp.ndarray, a1: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Merge two arrays so that out[..., 2m] = a0[..., m], out[..., 2m+1] =
+    a1[..., m] along ``axis``."""
+    stacked = jnp.stack([a0, a1], axis=axis + 1 if axis >= 0 else a0.ndim + axis + 1)
+    shape = list(a0.shape)
+    shape[axis] = 2 * a0.shape[axis]
+    return stacked.reshape(shape)
+
+
+def _bilinear_combos(xce: jnp.ndarray):
+    """The four horizontal bilinear combinations H[t][s] per coarse cell.
+
+    Weights a=9/16, b=3/16, c=1/16 (mg_intergrids.f90:377-379): the fine
+    child at horizontal parity (t, s) leans toward the coarse neighbour at
+    (j-1 if t==0 else j+1, i-1 if s==0 else i+1).
+    ``xce`` is the halo-1 extended coarse field.
+    """
+    a, b_, c = 9.0 / 16.0, 3.0 / 16.0, 1.0 / 16.0
+    J, I = xce.shape[-2:]
+
+    def S(dj, di):
+        return xce[..., 1 + dj: J - 1 + dj, 1 + di: I - 1 + di]
+
+    H = {}
+    for t, dj in ((0, -1), (1, 1)):
+        for s, di in ((0, -1), (1, 1)):
+            H[t, s] = (a * S(0, 0) + b_ * S(dj, 0)
+                       + b_ * S(0, di) + c * S(dj, di))
+    return H
+
+
+def prolong_3d_linear(xce: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear prolongation (coarse2fine_3D_linear,
+    mg_intergrids.f90:366-450) from halo-extended coarse (nzc, nyc+2, nxc+2)
+    to fine interior (2*nzc, 2*nyc, 2*nxc).
+
+    Vertical factorization: every fine value is 3/4 * H[main] +
+    1/4 * H[partner] (d,e,f,g = (3/4, 1/4) x (a,b,c)), except the bottom
+    fine row (pure H, nearest in z, :394-405) and the top fine row
+    (0.5 * H — Dirichlet surface, :434-446).
+    """
+    nzc = xce.shape[0]
+    H = _bilinear_combos(xce)
+
+    def vprofile(Hc: jnp.ndarray) -> jnp.ndarray:
+        # even fine rows k=2kc: kc==0 -> H[0]; else 0.75*H[kc] + 0.25*H[kc-1]
+        ev = jnp.concatenate(
+            [Hc[0:1], 0.75 * Hc[1:] + 0.25 * Hc[:-1]], axis=0)
+        # odd fine rows k=2kc+1: kc<nzc-1 -> 0.75*H[kc] + 0.25*H[kc+1];
+        # top (kc==nzc-1) -> 0.5*H[-1]
+        od = jnp.concatenate(
+            [0.75 * Hc[:-1] + 0.25 * Hc[1:], 0.5 * Hc[-1:]], axis=0)
+        return _interleave(ev, od, axis=0)
+
+    V = {ts: vprofile(Hc) for ts, Hc in H.items()}
+    lo = _interleave(V[0, 0], V[0, 1], axis=-1)
+    hi = _interleave(V[1, 0], V[1, 1], axis=-1)
+    return _interleave(lo, hi, axis=-2)
+
+
+def prolong_3d_nearest(xce: jnp.ndarray) -> jnp.ndarray:
+    """8-way injection (coarse2fine_3D_nearest, mg_intergrids.f90:336-363)."""
+    xc = xce[..., 1:-1, 1:-1]
+    nzc, nyc, nxc = xc.shape
+    out = jnp.broadcast_to(xc[:, None, :, None, :, None],
+                           (nzc, 2, nyc, 2, nxc, 2))
+    return out.reshape(2 * nzc, 2 * nyc, 2 * nxc)
+
+
+def prolong_2d_linear(xce: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear prolongation for nz==1 levels (coarse2fine_2D_linear,
+    mg_intergrids.f90:295-333)."""
+    H = _bilinear_combos(xce)
+    lo = _interleave(H[0, 0], H[0, 1], axis=-1)
+    hi = _interleave(H[1, 0], H[1, 1], axis=-1)
+    return _interleave(lo, hi, axis=-2)
+
+
+def prolong_2d_nearest(xce: jnp.ndarray) -> jnp.ndarray:
+    """4-way injection (coarse2fine_2D_nearest, mg_intergrids.f90:250-292)."""
+    xc = xce[..., 1:-1, 1:-1]
+    nzc, nyc, nxc = xc.shape
+    out = jnp.broadcast_to(xc[:, :, None, :, None], (nzc, nyc, 2, nxc, 2))
+    return out.reshape(nzc, 2 * nyc, 2 * nxc)
+
+
+def prolong(xce: jnp.ndarray, fine_nz: int, interp_type: str,
+            aggressive: bool = False) -> jnp.ndarray:
+    """Dispatch (coarse2fine, mg_intergrids.f90:196-222).  ``fine_nz`` is the
+    target level's nz (2-D fine levels use the 2-D kernels)."""
+    if aggressive:
+        # parity with coarse2fine_aggressive (mg_intergrids.f90:231-247):
+        # the reference stops with an error here as well
+        raise NotImplementedError("aggressive prolongation not available "
+                                  "(parity with mg_intergrids.f90:243-244)")
+    if fine_nz == 1:
+        if interp_type == "linear":
+            return prolong_2d_linear(xce)
+        return prolong_2d_nearest(xce)
+    # 3-D kernels; nzc == 1 (fine nz == 2 over a 2-D coarse level) falls out
+    # of the same code path, matching the reference dispatch at :202-218
+    assert xce.shape[0] * 2 == fine_nz
+    if interp_type == "linear":
+        return prolong_3d_linear(xce)
+    return prolong_3d_nearest(xce)

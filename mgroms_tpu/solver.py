@@ -1,0 +1,197 @@
+"""Multigrid cycle orchestration: V-cycles, F-cycles, outer solve.
+
+TPU-native port of ``src/mg_solvers.f90``.  Levels are trace-time static, so
+``fcycle``/``vcycle`` unroll into one fixed XLA DAG; the only host sync is
+the once-per-F-cycle residual-norm fetch that drives the convergence loop
+(exactly the reference's per-iteration ALLREDUCE + host test,
+mg_solvers.f90:61-79).
+
+The per-level operations are supplied by a *backend* object so the same
+cycle code runs single-device (backend = :class:`SingleDeviceBackend`) and
+distributed (mgroms_tpu.parallel) — the backend owns halo extension,
+restriction/prolongation (incl. any resharding), relaxation and global
+reductions.
+
+One deliberate deviation: the reference's V-cycle down-leg calls
+``compute_residual`` which also reduces the global norm (an ALLREDUCE per
+level per cycle) and throws the value away.  We compute the residual field
+only; norms are evaluated once per outer iteration.  The iterates are
+bit-identical; only dead reductions are dropped.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .assembly import LevelOperator
+from .bc import extend_h1
+from .config import SolverConfig
+from .levels import LevelSpec
+from .ops import relax as relax_ops
+from .ops import stencil, transfer
+
+
+class SingleDeviceBackend:
+    """All per-level ops on one device (physical BCs on every edge)."""
+
+    def __init__(self, levels: List[LevelSpec], ops: List[LevelOperator],
+                 cfg: SolverConfig):
+        self.levels = levels
+        self.ops = ops
+        self.cfg = cfg
+        self.nlevs = len(levels)
+
+    # -- halos -------------------------------------------------------------
+    def extend(self, lev: int, x: jnp.ndarray) -> jnp.ndarray:
+        return extend_h1(x)
+
+    # -- smoothing / residual ---------------------------------------------
+    def relax(self, lev: int, p, b, nsweeps: int):
+        spec = self.levels[lev]
+        if spec.nd == 5:
+            return relax_ops.relax_2d(
+                p, b, self.ops[lev].cA, nsweeps,
+                extend_fn=lambda x: self.extend(lev, x))
+        return relax_ops.relax(
+            p, b, self.ops[lev].cA, nsweeps, self.cfg.relax_kind,
+            self.cfg.cmatrix == "real",
+            extend_fn=lambda x: self.extend(lev, x))
+
+    def residual(self, lev: int, p, b):
+        pe = self.extend(lev, p)
+        return stencil.residual(pe, b, self.ops[lev].cA,
+                                self.cfg.cmatrix == "real")
+
+    # -- transfers ---------------------------------------------------------
+    def restrict(self, lev: int, r):
+        """grid(lev)%r -> grid(lev+1)%b (fine2coarse, mg_intergrids.f90:16)."""
+        aggressive = self.levels[lev + 1].aggressive_from_prev
+        return transfer.restrict(r, aggressive=aggressive)
+
+    def prolong(self, lev: int, pc):
+        """grid(lev+1)%p -> correction on lev (coarse2fine, :167-228)."""
+        aggressive = self.levels[lev + 1].aggressive_from_prev
+        pce = self.extend(lev + 1, pc)
+        return transfer.prolong(pce, self.levels[lev].nzg,
+                                self.cfg.interp_type, aggressive=aggressive)
+
+    # -- reductions --------------------------------------------------------
+    def norm_sq(self, lev: int, x) -> jnp.ndarray:
+        return jnp.sum(x * x)
+
+    def zeros(self, lev: int):
+        s = self.levels[lev]
+        dt = self.ops[lev].cA.dtype
+        return jnp.zeros((s.nzg, s.nyg, s.nxg), dtype=dt)
+
+
+def vcycle(backend, ps: list, bs: list, top: int,
+           cfg: SolverConfig) -> list:
+    """One V-cycle from level ``top`` down (``Vcycle``,
+    mg_solvers.f90:129-151)."""
+    L = backend.nlevs
+    for lev in range(top, L - 1):
+        ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_pre)
+        r = backend.residual(lev, ps[lev], bs[lev])
+        bs[lev + 1] = backend.restrict(lev, r)
+        ps[lev + 1] = backend.zeros(lev + 1)
+    ps[L - 1] = backend.relax(L - 1, ps[L - 1], bs[L - 1], cfg.ns_coarsest)
+    for lev in range(L - 2, top - 1, -1):
+        ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1])
+        ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_post)
+    return ps
+
+
+def fcycle(backend, p0, b0, r0, cfg: SolverConfig):
+    """One F-cycle (``Fcycle``, mg_solvers.f90:104-126).
+
+    Restricts the *current residual* r0 down all levels (the down-leg
+    ``fine2coarse`` reads grid%r, :113), relaxes the coarsest, then per
+    level applies the coarse correction and runs a V-cycle from there.
+    """
+    L = backend.nlevs
+    ps = [None] * L
+    bs = [None] * L
+    ps[0], bs[0] = p0, b0
+    r = r0
+    for lev in range(0, L - 1):
+        bs[lev + 1] = backend.restrict(lev, r)
+        ps[lev + 1] = backend.zeros(lev + 1)
+        r = bs[lev + 1]           # coarse residual (p=0) == b (:114)
+    ps[L - 1] = backend.relax(L - 1, ps[L - 1], bs[L - 1], cfg.ns_coarsest)
+    for lev in range(L - 2, -1, -1):
+        ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1])
+        ps = vcycle(backend, ps, bs, lev, cfg)
+    return ps[0]
+
+
+class SolveInfo(NamedTuple):
+    niter: int
+    res: float                 # final relative residual ||r||/||b||
+    history: tuple             # relative residual after each F-cycle
+    time_s: float
+    rescaled_perf: float       # reference figure of merit (mg_solvers.f90:92)
+
+
+def solve_p(backend, b: jnp.ndarray, cfg: Optional[SolverConfig] = None,
+            tol: Optional[float] = None, maxiter: Optional[int] = None,
+            verbose: bool = False) -> Tuple[jnp.ndarray, SolveInfo]:
+    """Outer convergence loop (``solve_p``, mg_solvers.f90:17-101).
+
+    Starts from p = 0 (:35), iterates F-cycles until the relative residual
+    ||b - Ap|| / ||b|| drops under ``tol`` or ``maxiter`` cycles (:61-79).
+    Returns the pressure and a :class:`SolveInfo` with the residual history
+    and the reference "rescaled performance" metric.
+    """
+    cfg = cfg or backend.cfg
+    tol = cfg.solver_prec if tol is None else tol
+    maxiter = cfg.solver_maxiter if maxiter is None else maxiter
+
+    @jax.jit
+    def _init(b):
+        p = backend.zeros(0)
+        bnorm = jnp.sqrt(backend.norm_sq(0, b))
+        r = backend.residual(0, p, b)
+        rnorm = jnp.sqrt(backend.norm_sq(0, r))
+        return p, r, rnorm / bnorm, bnorm
+
+    @jax.jit
+    def _step(p, b, r):
+        for _ in range(cfg.cycles_per_check):
+            p = fcycle(backend, p, b, r, cfg)
+            r = backend.residual(0, p, b)
+        rnorm = jnp.sqrt(backend.norm_sq(0, r))
+        return p, r, rnorm
+
+    t0 = time.perf_counter()
+    p, r, res0, bnorm = _init(b)
+    res0 = float(res0)
+    r0val = res0
+    history = [res0]
+    nite = 0
+    while nite < maxiter and res0 > tol:
+        p, r, rnorm = _step(p, b, r)
+        rnorm = float(rnorm) / float(bnorm)
+        conv = res0 / rnorm if rnorm > 0 else float("inf")
+        res0 = rnorm
+        nite += cfg.cycles_per_check
+        history.append(rnorm)
+        if verbose:
+            print(f"ite = {nite:2d}: res = {rnorm:10.3e} / conv = {conv:10.3f}")
+    jax.block_until_ready(p)
+    dt = time.perf_counter() - t0
+
+    # rescaled performance (mg_solvers.f90:84-97): core-seconds per DOF per
+    # decade of residual reduction
+    import math
+    s = backend.levels[0]
+    ncores = getattr(backend, "ndevices", 1)
+    decades = -math.log10(max(res0 / r0val, 1e-300)) if nite else float("nan")
+    perf = (dt * ncores / decades / (s.nxg * s.nyg * s.nzg)
+            if decades and decades > 0 else float("nan"))
+    return p, SolveInfo(niter=nite, res=res0, history=tuple(history),
+                        time_s=dt, rescaled_perf=perf)

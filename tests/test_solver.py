@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgroms_tpu import NHModel, SolverConfig
+from mgroms_tpu.bc import extend_h1
+from mgroms_tpu.cases.seamount import initial_velocities, setup_seamount
+from mgroms_tpu.ops.relax import tridiag
+from mgroms_tpu.ops.stencil import apply_op
+
+
+def test_tridiag_matches_dense():
+    rng = np.random.default_rng(0)
+    nz, ny, nx = 7, 3, 2
+    d = rng.uniform(2.0, 3.0, (nz, ny, nx))
+    dd = rng.uniform(-1.0, -0.5, (nz - 1, ny, nx))
+    b = rng.standard_normal((nz, ny, nx))
+    x = np.asarray(tridiag(jnp.asarray(d), jnp.asarray(dd), jnp.asarray(b)))
+    for j in range(ny):
+        for i in range(nx):
+            A = (np.diag(d[:, j, i]) + np.diag(dd[:, j, i], 1)
+                 + np.diag(dd[:, j, i], -1))
+            np.testing.assert_allclose(x[:, j, i],
+                                       np.linalg.solve(A, b[:, j, i]),
+                                       rtol=1e-10)
+
+
+def _model(nx, ny, nz, **cfg_kw):
+    m = NHModel(nx, ny, nz, cfg=SolverConfig(**cfg_kw))
+    c = setup_seamount(nx, ny, nz)
+    m.set_matrices(c.dx, c.dy, c.zeta, c.h, hc=c.hc,
+                   theta_b=c.theta_b, theta_s=c.theta_s)
+    return m
+
+
+def test_mg_matches_direct_solve():
+    """Multigrid solution equals a dense direct solve of the same operator
+    (the reference's MATLAB prototypes do this check — solve_pressure_ND.m)."""
+    nx = ny = nz = 8
+    m = _model(nx, ny, nz)
+    u, v, w = initial_velocities(nx, ny, nz)
+    b = m.rhs(u, v, w)
+    p, info = m.pressure_solve(b, tol=1e-13, maxiter=40)
+    # dense operator
+    n = nz * ny * nx
+    eye = jnp.eye(n).reshape(n, nz, ny, nx)
+    cols = jax.vmap(lambda e: apply_op(extend_h1(e), m.ops[0].cA, True))(eye)
+    A = np.asarray(cols.reshape(n, n)).T
+    pd = np.linalg.solve(A, np.asarray(b).ravel())
+    np.testing.assert_allclose(np.asarray(p).ravel(), pd,
+                               atol=1e-8 * np.abs(pd).max())
+
+
+def test_seamount_convergence_and_projection():
+    """End-to-end seamount 32^3: F-cycles converge fast and the corrected
+    velocity field is non-divergent (driver checks,
+    mg_testseamount.f90:185-198)."""
+    nx = ny = nz = 32
+    m = _model(nx, ny, nz)
+    u, v, w = initial_velocities(nx, ny, nz)
+    b0 = m.rhs(u, v, w)
+    uc, vc, wc, p, info = m.solve(u, v, w, tol=1e-11, maxiter=30)
+    assert info.res <= 1e-11
+    # healthy multigrid: large mean reduction per F-cycle
+    hist = np.array(info.history)
+    mean_conv = (hist[-1] / hist[0]) ** (1.0 / info.niter)
+    assert mean_conv < 0.3, f"convergence factor too weak: {mean_conv}"
+    # non-divergence of the corrected field.  Away from the lateral
+    # boundary this is machine zero; on the boundary ring the BC-in-halo
+    # discretization leaves an O(0.1%) remnant (div(G p) != A p only where
+    # the mirror halo folds slope couplings through a wall) — a property of
+    # the reference discretization as well (its check prints the field for
+    # human inspection with no assertion, mg_testseamount.f90:196-198).
+    div = np.abs(np.asarray(m.rhs(uc, vc, wc)))
+    div0 = float(jnp.max(jnp.abs(b0)))
+    assert div[:, 2:-2, 2:-2].max() < 1e-9 * div0
+    assert div.max() < 1e-2 * div0
+
+
+def test_relax_reduces_residual():
+    nx = ny = nz = 16
+    m = _model(nx, ny, nz)
+    u, v, w = initial_velocities(nx, ny, nz)
+    b = m.rhs(u, v, w)
+    be = m.backend
+    p = be.zeros(0)
+    r0 = float(jnp.linalg.norm(be.residual(0, p, b)))
+    p = be.relax(0, p, b, 4)
+    r1 = float(jnp.linalg.norm(be.residual(0, p, b)))
+    assert r1 < 0.7 * r0
+
+
+def test_four_color_and_gs_converge():
+    nx = ny = nz = 16
+    for method in ("FC", "GS"):
+        m = _model(nx, ny, nz, relax_method=method)
+        u, v, w = initial_velocities(nx, ny, nz)
+        b = m.rhs(u, v, w)
+        p, info = m.pressure_solve(b, tol=1e-9, maxiter=30)
+        assert info.res <= 1e-9, f"{method} failed: {info.history}"
+
+
+def test_nearest_interp_converges():
+    m = _model(16, 16, 16, interp_type="nearest", restrict_type="avg")
+    u, v, w = initial_velocities(16, 16, 16)
+    b = m.rhs(u, v, w)
+    p, info = m.pressure_solve(b, tol=1e-9, maxiter=40)
+    assert info.res <= 1e-9
