@@ -50,6 +50,9 @@ class LevelOperator(NamedTuple):
     cA: jnp.ndarray      # (8, nz, ny+2, nx+2) stencil bands
     umask: jnp.ndarray   # (ny+2, nx+2)
     vmask: jnp.ndarray   # (ny+2, nx+2)
+    # dense inverse of the coarsest-level operator (nc, nc) for the
+    # cfg.coarsest == 'direct' exact coarse solve; None elsewhere
+    Ainv: jnp.ndarray | None = None
 
 
 class FineMetrics(NamedTuple):
@@ -313,6 +316,28 @@ def assemble_bands(dx: jnp.ndarray, dy: jnp.ndarray,
     return LevelOperator(cA=cA, umask=umask, vmask=vmask)
 
 
+def dense_inverse(op: LevelOperator, cfg: SolverConfig) -> jnp.ndarray:
+    """Dense inverse of a (small) level operator for the exact coarse solve.
+
+    Built by applying the stencil to unit vectors (the same dense-operator
+    construction the test suite uses against the direct solver).  Inversion
+    happens in float64 for conditioning, cast back to the working dtype.
+    """
+    import jax
+
+    from .ops.stencil import apply_op
+    from .bc import extend_h1
+
+    nz, J, I = op.cA.shape[1:]
+    ny, nx = J - 2, I - 2
+    n = nz * ny * nx
+    eye = jnp.eye(n, dtype=op.cA.dtype).reshape(n, nz, ny, nx)
+    cols = jax.vmap(
+        lambda e: apply_op(extend_h1(e), op.cA, cfg.cmatrix == "real"))(eye)
+    A = cols.reshape(n, n).T
+    return jnp.linalg.inv(A).astype(op.cA.dtype)
+
+
 def coarsen_metric(f: jnp.ndarray, weight: float) -> jnp.ndarray:
     """2x2 metric coarsening (mg_define_matrix.f90:116-138): ``weight`` is
     0.5 for spacings (dx, dy) and 0.25 for heights (zeta, h)."""
@@ -362,6 +387,8 @@ def build_operators(levels: list[LevelSpec],
         zre = extend_h2(zr)
         zwe = extend_h2(zw)
         op = assemble_bands(dxe, dye, zre, zwe, rmaske, cfg.bmask)
+        if cfg.coarsest == "direct" and spec.index == len(levels) - 1:
+            op = op._replace(Ainv=dense_inverse(op, cfg))
         ops.append(op)
         if spec.index == 0:
             dzw, zx, zy, cw = slope_terms(dxe, dye, zre, zwe)

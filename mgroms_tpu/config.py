@@ -62,6 +62,17 @@ class SolverConfig:
     dtype: str = "float64"
     # use Pallas TPU kernels for the hot ops when available
     use_pallas: bool = False
+    # exact z-line solver inside the smoother: 'thomas' (sequential scan,
+    # matches the reference loop bit-for-bit, mg_relax.f90:308-334) or
+    # 'pcr' (parallel cyclic reduction — same exact solve, log2(nz)
+    # full-width vector steps; the TPU-native choice)
+    tridiag: str = "thomas"
+    # coarsest-level treatment: 'relax' (ns_coarsest smoothing sweeps,
+    # reference behaviour, mg_solvers.f90:117/144) or 'direct' (multiply by
+    # a precomputed dense inverse — one MXU matmul instead of ~2*ns_coarsest
+    # sequential tiny-kernel launches; an exact coarse solve, so convergence
+    # is at least as good per cycle)
+    coarsest: str = "relax"
     # number of F-cycles fused per host-side convergence check (1 == reference
     # behaviour: one ALLREDUCE-synced residual per cycle, mg_solvers.f90:61-79)
     cycles_per_check: int = 1

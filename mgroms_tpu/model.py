@@ -56,17 +56,41 @@ class NHModel:
         conv = lambda a: jnp.asarray(a, dtype=dt)
         if rmask is None:
             rmask = jnp.ones((self.ny, self.nx), dtype=dt)
-        ops, metrics = build_operators(
-            self.levels, conv(dx), conv(dy), conv(zeta), conv(h),
-            conv(rmask), hc, theta_b, theta_s, self.cfg)
+
+        # one compiled program for the whole hierarchy: eager dispatch is
+        # expensive on remote-attached TPU backends, and assembly is a few
+        # hundred primitives
+        @jax.jit
+        def _assemble(dx, dy, zeta, h, rmask):
+            return build_operators(self.levels, dx, dy, zeta, h, rmask,
+                                   hc, theta_b, theta_s, self.cfg)
+
+        ops, metrics = _assemble(conv(dx), conv(dy), conv(zeta), conv(h),
+                                 conv(rmask))
         self.ops = ops
         self.metrics = metrics
         self.backend = SingleDeviceBackend(self.levels, ops, self.cfg)
 
+    def distribute(self, npx: int, npy: int, devices=None) -> None:
+        """Distribute the solve over an (npx, npy) device mesh — the
+        reference's 2-D horizontal domain decomposition
+        (npxg x npyg, nhydro_init args, nhydro.f90:18).  Call after
+        :meth:`set_matrices`."""
+        from .parallel import DistributedBackend, MeshPlan, make_mesh, \
+            shard_operators
+        assert self.backend is not None, "call set_matrices first"
+        mesh = make_mesh(npx, npy, devices)
+        plan = MeshPlan.create(mesh, self.levels, nsmall=self.cfg.nsmall)
+        ops = shard_operators(self.ops, plan)
+        self.backend = DistributedBackend(self.levels, ops, self.cfg, plan)
+
     # -- pieces (also exposed for tests/benchmarks) ------------------------
     def rhs(self, u, v, w) -> jnp.ndarray:
         assert self.metrics is not None, "call set_matrices first"
-        return compute_rhs(self.metrics, u, v, w, self.cfg.bmask)
+        if not hasattr(self, "_rhs_jit"):
+            self._rhs_jit = jax.jit(
+                lambda mt, u, v, w: compute_rhs(mt, u, v, w, self.cfg.bmask))
+        return self._rhs_jit(self.metrics, u, v, w)
 
     def pressure_solve(self, b, tol=None, maxiter=None, verbose=False
                        ) -> Tuple[jnp.ndarray, SolveInfo]:
@@ -74,7 +98,10 @@ class NHModel:
                        verbose=verbose)
 
     def project(self, p, u, v, w):
-        return correct_uvw(self.metrics, extend_h1(p), u, v, w)
+        if not hasattr(self, "_proj_jit"):
+            self._proj_jit = jax.jit(
+                lambda mt, p, u, v, w: correct_uvw(mt, extend_h1(p), u, v, w))
+        return self._proj_jit(self.metrics, p, u, v, w)
 
     # -- the reference's three-step solve (nhydro.f90:80-98) ---------------
     def solve(self, u, v, w, tol=None, maxiter=None, verbose=False):
@@ -93,5 +120,8 @@ class NHModel:
         """Recompute the divergence of corrected velocities; should be at
         machine zero (nhydro_check_nondivergence, nhydro.f90:105-134).
         Returns max |div|."""
-        b = self.rhs(u, v, w)
-        return jnp.max(jnp.abs(b))
+        if not hasattr(self, "_check_jit"):
+            self._check_jit = jax.jit(
+                lambda mt, u, v, w: jnp.max(jnp.abs(
+                    compute_rhs(mt, u, v, w, self.cfg.bmask))))
+        return self._check_jit(self.metrics, u, v, w)

@@ -36,6 +36,40 @@ from .stencil import band, offdiag_columns
 ExtendFn = Callable[[jnp.ndarray], jnp.ndarray]
 
 
+def tridiag_pcr(d: jnp.ndarray, dd: jnp.ndarray, b: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Parallel cyclic reduction solve of the same symmetric tridiagonal
+    systems as :func:`tridiag` — exact in exact arithmetic, but built from
+    ceil(log2(nz)) full-width vector steps instead of 2*nz sequential scan
+    steps, which is the layout the VPU wants (TPU-native alternative to the
+    reference's Thomas loop, mg_relax.f90:308-334)."""
+    nz = d.shape[0]
+    if nz == 1:
+        return b / d
+    lo = jnp.concatenate([jnp.zeros_like(dd[:1]), dd], axis=0)   # a_k
+    up = jnp.concatenate([dd, jnp.zeros_like(dd[:1])], axis=0)   # c_k
+    diag = d
+    rhs = b
+    s = 1
+    while s < nz:
+        def shdn(x, fill=0.0):   # x_{k-s}
+            pad = jnp.full_like(x[:s], fill)
+            return jnp.concatenate([pad, x[:-s]], axis=0)
+
+        def shup(x, fill=0.0):   # x_{k+s}
+            pad = jnp.full_like(x[:s], fill)
+            return jnp.concatenate([x[s:], pad], axis=0)
+
+        alpha = -lo / shdn(diag, 1.0)
+        gamma = -up / shup(diag, 1.0)
+        diag = diag + alpha * shdn(up) + gamma * shup(lo)
+        rhs = rhs + alpha * shdn(rhs) + gamma * shup(rhs)
+        lo = alpha * shdn(lo)
+        up = gamma * shup(up)
+        s *= 2
+    return rhs / diag
+
+
 def tridiag(d: jnp.ndarray, dd: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Thomas solve of symmetric tridiagonal systems, batched over (ny, nx).
 
@@ -71,13 +105,14 @@ def tridiag(d: jnp.ndarray, dd: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _column_solve(pe: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
-                  real_matrix: bool) -> jnp.ndarray:
+                  real_matrix: bool, method: str = "thomas") -> jnp.ndarray:
     """Exact solve of every z-column given current neighbour columns
     (relax_3D_8_heart for all (i, j) at once)."""
     rhs = b - offdiag_columns(pe, cA, real_matrix)
     d = band(cA, 1)
     ud = cA[1][1:, 1:-1, 1:-1]      # ud(k) = cA2(k+1) (mg_relax.f90:279,290)
-    return tridiag(d, ud, rhs)
+    solver = tridiag_pcr if method == "pcr" else tridiag
+    return solver(d, ud, rhs)
 
 
 def _parity_mask(ny: int, nx: int, c: int, j0: int, i0: int,
@@ -92,37 +127,52 @@ def _parity_mask(ny: int, nx: int, c: int, j0: int, i0: int,
 
 def relax(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
           nsweeps: int, kind: str, real_matrix: bool,
-          extend_fn: ExtendFn, j0: int = 0, i0: int = 0) -> jnp.ndarray:
+          extend_fn: ExtendFn, j0: int = 0, i0: int = 0,
+          tridiag_method: str = "thomas") -> jnp.ndarray:
     """``nsweeps`` smoothing sweeps (``relax`` dispatch, mg_relax.f90:16-47).
 
     ``extend_fn`` supplies halos (physical BCs and/or neighbour shards) and
     is invoked once per color — the reference's halo-per-color protocol.
+
+    The sweep/color iteration is a ``lax.fori_loop`` whose body is one
+    color update (the mask is selected by loop index): the coarsest level
+    runs ns_coarsest=40 sweeps and unrolling 80 color updates into the
+    traced program would blow up compile time.
     """
     ny, nx = p.shape[-2:]
     dt = p.dtype
 
     def color_update(p, mask):
         pe = extend_fn(p)
-        sol = _column_solve(pe, b, cA, real_matrix)
+        sol = _column_solve(pe, b, cA, real_matrix, tridiag_method)
         return p + mask * (sol - p)
 
-    for _ in range(nsweeps):
-        if kind == "RB":
-            for c in (0, 1):
-                p = color_update(p, _parity_mask(ny, nx, c, j0, i0, dt))
-        elif kind == "FC":
-            # four colors in reference order (mg_relax.f90:214-228):
-            # (i even, j even), (i even, j odd), (i odd, j even), (i odd, j odd)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0) + j0
-            ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1) + i0
-            for t, s in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                mask = (((ii % 2) == t) & ((jj % 2) == s)).astype(dt)
-                p = color_update(p, mask)
-        elif kind == "GS":
-            p = color_update(p, jnp.ones((ny, nx), dtype=dt))
-        else:
-            raise ValueError(f"unknown relax kind {kind!r}")
-    return p
+    if kind == "RB":
+        masks = jnp.stack([_parity_mask(ny, nx, c, j0, i0, dt)
+                           for c in (0, 1)])
+    elif kind == "FC":
+        # four colors in reference order (mg_relax.f90:214-228):
+        # (i even, j even), (i even, j odd), (i odd, j even), (i odd, j odd)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0) + j0
+        ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1) + i0
+        masks = jnp.stack([(((ii % 2) == t) & ((jj % 2) == s)).astype(dt)
+                           for t, s in ((0, 0), (0, 1), (1, 0), (1, 1))])
+    elif kind == "GS":
+        masks = jnp.ones((1, ny, nx), dtype=dt)
+    else:
+        raise ValueError(f"unknown relax kind {kind!r}")
+
+    ncolor = masks.shape[0]
+    nsteps = nsweeps * ncolor
+
+    def body(i, p):
+        return color_update(p, masks[i % ncolor])
+
+    if nsteps <= 2:
+        for i in range(nsteps):
+            p = body(i, p)
+        return p
+    return jax.lax.fori_loop(0, nsteps, body, p)
 
 
 def relax_2d(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,

@@ -1,0 +1,94 @@
+"""Distributed solver backend: the single-device ops under GSPMD.
+
+The cycle math is identical to :class:`mgroms_tpu.solver.SingleDeviceBackend`
+— this subclass only pins every level's state to its planned distribution
+(sharded over the ('py','px') mesh while the tile is big enough, replicated
+below the agglomeration threshold).  XLA partitions the stencils/scans and
+inserts the halo collective-permutes; the restrict/prolong at the
+shard->replicated transition lowers to one small all-gather / local slice,
+which is exactly the reference's gather/split pair
+(mg_gather.f90:18-220) executed as a single collective.
+
+Because the solve is expressed on *global* arrays, distributed results are
+bit-identical to single-device runs (same reduction orders up to XLA's
+deterministic partitioning) — the property the reference asserts via its
+"small MPI runs on one node" strategy.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+
+from ..assembly import LevelOperator
+from ..config import SolverConfig
+from ..levels import LevelSpec
+from ..solver import SingleDeviceBackend
+from .mesh import MeshPlan
+
+
+def shard_operators(ops: List[LevelOperator], plan: MeshPlan
+                    ) -> List[LevelOperator]:
+    """Place assembled operators on the mesh.
+
+    Operator arrays are halo-extended ((ny+2, nx+2) in the last two dims),
+    which does not tile evenly over the mesh, so they are *replicated*;
+    XLA slices the local portion of a replicated operand with no
+    communication, and the sharded state arrays drive the partitioning of
+    every stencil op.  (Memory note: replicating cA costs
+    8*nz*(ny+2)*(nx+2) words per device — fine through the CUC scale; the
+    per-shard-extended blocked layout that removes this is the explicit
+    shard_map backend's job.)
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(plan.mesh, P())
+    out = []
+    for op in ops:
+        out.append(LevelOperator(
+            cA=jax.device_put(op.cA, repl),
+            umask=jax.device_put(op.umask, repl),
+            vmask=jax.device_put(op.vmask, repl),
+            Ainv=None if op.Ainv is None else jax.device_put(op.Ainv, repl),
+        ))
+    return out
+
+
+class DistributedBackend(SingleDeviceBackend):
+    def __init__(self, levels: List[LevelSpec], ops: List[LevelOperator],
+                 cfg: SolverConfig, plan: MeshPlan):
+        super().__init__(levels, ops, cfg)
+        self.plan = plan
+        self.ndevices = int(plan.mesh.devices.size)
+
+    def tree_flatten(self):
+        return (self.ops,), (self.levels, self.cfg, self.plan)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, cfg, plan = aux
+        return cls(list(levels), list(children[0]), cfg, plan)
+
+    def relax(self, lev, p, b, nsweeps):
+        p = self.plan.constrain(lev, p)
+        return self.plan.constrain(
+            lev, super().relax(lev, p, b, nsweeps))
+
+    def residual(self, lev, p, b):
+        return self.plan.constrain(lev, super().residual(lev, p, b))
+
+    def restrict(self, lev, r):
+        # the transition level's constraint IS the agglomeration collective
+        return self.plan.constrain(lev + 1, super().restrict(lev, r))
+
+    def prolong(self, lev, pc):
+        return self.plan.constrain(lev, super().prolong(lev, pc))
+
+    def zeros(self, lev):
+        return self.plan.constrain(lev, super().zeros(lev))
+
+
+jax.tree_util.register_pytree_node(
+    DistributedBackend,
+    DistributedBackend.tree_flatten,
+    DistributedBackend.tree_unflatten)

@@ -36,14 +36,29 @@ from .ops import stencil, transfer
 
 
 class SingleDeviceBackend:
-    """All per-level ops on one device (physical BCs on every edge)."""
+    """All per-level ops on one device (physical BCs on every edge).
+
+    Registered as a JAX pytree (operator arrays are leaves, the level plan
+    and config are static aux data) so jitted solver steps take the backend
+    as a *traced argument* — embedding multi-MB coefficient arrays as HLO
+    constants is poison for compile time, especially on remote-attached
+    TPU backends.
+    """
 
     def __init__(self, levels: List[LevelSpec], ops: List[LevelOperator],
                  cfg: SolverConfig):
-        self.levels = levels
-        self.ops = ops
+        self.levels = tuple(levels)
+        self.ops = list(ops)
         self.cfg = cfg
         self.nlevs = len(levels)
+
+    def tree_flatten(self):
+        return (self.ops,), (self.levels, self.cfg)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, cfg = aux
+        return cls(list(levels), list(children[0]), cfg)
 
     # -- halos -------------------------------------------------------------
     def extend(self, lev: int, x: jnp.ndarray) -> jnp.ndarray:
@@ -52,6 +67,13 @@ class SingleDeviceBackend:
     # -- smoothing / residual ---------------------------------------------
     def relax(self, lev: int, p, b, nsweeps: int):
         spec = self.levels[lev]
+        if (lev == self.nlevs - 1 and self.cfg.coarsest == "direct"
+                and self.ops[lev].Ainv is not None):
+            # exact coarse solve: one (nc, nc) matvec on the MXU replaces
+            # ns_coarsest relaxation sweeps
+            n = spec.nzg * spec.nyg * spec.nxg
+            return (self.ops[lev].Ainv @ b.reshape(n)).reshape(
+                spec.nzg, spec.nyg, spec.nxg)
         if spec.nd == 5:
             return relax_ops.relax_2d(
                 p, b, self.ops[lev].cA, nsweeps,
@@ -59,7 +81,8 @@ class SingleDeviceBackend:
         return relax_ops.relax(
             p, b, self.ops[lev].cA, nsweeps, self.cfg.relax_kind,
             self.cfg.cmatrix == "real",
-            extend_fn=lambda x: self.extend(lev, x))
+            extend_fn=lambda x: self.extend(lev, x),
+            tridiag_method=self.cfg.tridiag)
 
     def residual(self, lev: int, p, b):
         pe = self.extend(lev, p)
@@ -87,6 +110,12 @@ class SingleDeviceBackend:
         s = self.levels[lev]
         dt = self.ops[lev].cA.dtype
         return jnp.zeros((s.nzg, s.nyg, s.nxg), dtype=dt)
+
+
+jax.tree_util.register_pytree_node(
+    SingleDeviceBackend,
+    SingleDeviceBackend.tree_flatten,
+    SingleDeviceBackend.tree_unflatten)
 
 
 def vcycle(backend, ps: list, bs: list, top: int,
@@ -129,6 +158,36 @@ def fcycle(backend, p0, b0, r0, cfg: SolverConfig):
     return ps[0]
 
 
+# Module-level jitted entry points.  The backend is a pytree ARGUMENT, not
+# a closure capture: its coefficient arrays must be traced inputs, never
+# HLO constants (multi-MB constants wreck compile time, catastrophically so
+# on remote-attached TPU backends).  Module scope keeps the jit cache warm
+# across repeated solves.
+@jax.jit
+def solve_init(be, b):
+    """p = 0, ||b||, initial residual and relative norm
+    (solve_p prologue, mg_solvers.f90:35-57)."""
+    p = be.zeros(0)
+    bnorm = jnp.sqrt(be.norm_sq(0, b))
+    r = be.residual(0, p, b)
+    rnorm = jnp.sqrt(be.norm_sq(0, r))
+    return p, r, rnorm / bnorm, bnorm
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_step(be, p, b, r, cfg):
+    """One convergence-loop iteration: cycles_per_check F-cycles + fresh
+    residual + norm (mg_solvers.f90:61-79 body)."""
+    for _ in range(cfg.cycles_per_check):
+        p = fcycle(be, p, b, r, cfg)
+        r = be.residual(0, p, b)
+    rnorm = jnp.sqrt(be.norm_sq(0, r))
+    return p, r, rnorm
+
+
 class SolveInfo(NamedTuple):
     niter: int
     res: float                 # final relative residual ||r||/||b||
@@ -151,30 +210,14 @@ def solve_p(backend, b: jnp.ndarray, cfg: Optional[SolverConfig] = None,
     tol = cfg.solver_prec if tol is None else tol
     maxiter = cfg.solver_maxiter if maxiter is None else maxiter
 
-    @jax.jit
-    def _init(b):
-        p = backend.zeros(0)
-        bnorm = jnp.sqrt(backend.norm_sq(0, b))
-        r = backend.residual(0, p, b)
-        rnorm = jnp.sqrt(backend.norm_sq(0, r))
-        return p, r, rnorm / bnorm, bnorm
-
-    @jax.jit
-    def _step(p, b, r):
-        for _ in range(cfg.cycles_per_check):
-            p = fcycle(backend, p, b, r, cfg)
-            r = backend.residual(0, p, b)
-        rnorm = jnp.sqrt(backend.norm_sq(0, r))
-        return p, r, rnorm
-
     t0 = time.perf_counter()
-    p, r, res0, bnorm = _init(b)
+    p, r, res0, bnorm = solve_init(backend, b)
     res0 = float(res0)
     r0val = res0
     history = [res0]
     nite = 0
     while nite < maxiter and res0 > tol:
-        p, r, rnorm = _step(p, b, r)
+        p, r, rnorm = solve_step(backend, p, b, r, cfg)
         rnorm = float(rnorm) / float(bnorm)
         conv = res0 / rnorm if rnorm > 0 else float("inf")
         res0 = rnorm

@@ -25,6 +25,43 @@ def test_tridiag_matches_dense():
                                        rtol=1e-10)
 
 
+def test_tridiag_pcr_matches_thomas():
+    from mgroms_tpu.ops.relax import tridiag_pcr
+    rng = np.random.default_rng(3)
+    for nz in (1, 2, 5, 8, 64):
+        d = rng.uniform(2.0, 3.0, (nz, 4, 3))
+        dd = rng.uniform(-1.0, -0.5, (max(nz - 1, 0), 4, 3))
+        b = rng.standard_normal((nz, 4, 3))
+        x1 = np.asarray(tridiag(jnp.asarray(d), jnp.asarray(dd),
+                                jnp.asarray(b)))
+        x2 = np.asarray(tridiag_pcr(jnp.asarray(d), jnp.asarray(dd),
+                                    jnp.asarray(b)))
+        np.testing.assert_allclose(x2, x1, rtol=1e-10, atol=1e-12)
+
+
+def test_direct_coarsest_converges():
+    """cfg.coarsest='direct' (exact dense coarse solve) converges at least
+    as fast as the reference's ns_coarsest relaxation sweeps."""
+    m = _model(16, 16, 16, coarsest="direct")
+    u, v, w = initial_velocities(16, 16, 16)
+    b = m.rhs(u, v, w)
+    p, info = m.pressure_solve(b, tol=1e-10, maxiter=20)
+    m2 = _model(16, 16, 16)
+    p2, info2 = m2.pressure_solve(b, tol=1e-10, maxiter=20)
+    assert info.res <= 1e-10
+    assert info.niter <= info2.niter
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p2),
+                               atol=1e-7 * np.abs(np.asarray(p2)).max())
+
+
+def test_pcr_solver_converges():
+    m = _model(16, 16, 16, tridiag="pcr")
+    u, v, w = initial_velocities(16, 16, 16)
+    b = m.rhs(u, v, w)
+    p, info = m.pressure_solve(b, tol=1e-10, maxiter=20)
+    assert info.res <= 1e-10
+
+
 def _model(nx, ny, nz, **cfg_kw):
     m = NHModel(nx, ny, nz, cfg=SolverConfig(**cfg_kw))
     c = setup_seamount(nx, ny, nz)
