@@ -72,16 +72,21 @@ def main():
         history.append(res)
         ncyc += 1
 
-    # timed steady-state F-cycles (post-compile)
+    # timed steady-state F-cycles, device-resident (block_until_ready is
+    # unreliable on tunneled backends — see utils/timing.py)
+    from mgroms_tpu.utils.timing import time_device_fn
     p, r, _, _ = init(be, b)
-    p, r, _ = step(be, p, b, r)        # warm
-    jax.block_until_ready(p)
-    reps = 10 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        p, r, _ = step(be, p, b, r)
-    jax.block_until_ready(p)
-    dt = (time.perf_counter() - t0) / reps
+
+    def one_cycle(carry):
+        # backend and b ride in the carry so they are traced args, not
+        # HLO constants
+        be, p, b, r = carry
+        p = fcycle(be, p, b, r, cfg)
+        r = be.residual(0, p, b)
+        return (be, p, b, r)
+
+    dt = time_device_fn(one_cycle, (be, p, b, r),
+                        iters=20 if on_tpu else 3)
 
     dof = nx * ny * nz
     dof_per_s = dof / dt

@@ -158,6 +158,63 @@ def fcycle(backend, p0, b0, r0, cfg: SolverConfig):
     return ps[0]
 
 
+def vcycle2(backend, ps: list, bs: list, top: int, bottom: int,
+            cfg: SolverConfig) -> list:
+    """Partial-depth V-cycle: descend only to level ``bottom``
+    (``Vcycle2``, mg_solvers.f90:155-177)."""
+    for lev in range(top, bottom):
+        ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_pre)
+        r = backend.residual(lev, ps[lev], bs[lev])
+        bs[lev + 1] = backend.restrict(lev, r)
+        ps[lev + 1] = backend.zeros(lev + 1)
+    ps[bottom] = backend.relax(bottom, ps[bottom], bs[bottom],
+                               cfg.ns_coarsest)
+    for lev in range(bottom - 1, top - 1, -1):
+        ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1])
+        ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_post)
+    return ps
+
+
+def dot(backend, lev: int, x, y) -> jnp.ndarray:
+    """Global <x, y> over the interior (``norm``, mg_solvers.f90:180-200).
+    Under GSPMD a plain sum over (sharded) global arrays IS the ALLREDUCE."""
+    del backend, lev
+    return jnp.sum(x * y)
+
+
+def testgalerkin(backend, lev: int, cfg: SolverConfig, seed: int = 0,
+                 field: str = "smooth"):
+    """Inter-grid/operator consistency diagnostic (``testgalerkin``,
+    mg_solvers.f90:203-288): prolong a coarse field p, compare <p, A_c p>
+    against <P p, A_f P p>.  Both approximate the same energy integral
+    for smooth fields, so norm_c/norm_f*4 ~ 4 (the expectation at
+    :281-286).  ``field='smooth'`` is the Gaussian bump of the reference's
+    commented variant (:226-232); ``'random'`` matches the live code path
+    (:224) and yields a larger ratio because trilinear interpolation damps
+    the rough modes' energy.
+
+    Returns (norm_coarse, norm_fine, ratio = norm_c / norm_f * 4).
+    """
+    import jax as _jax
+    s = backend.levels[lev]
+    dt = backend.ops[lev].cA.dtype
+    if field == "random":
+        key = _jax.random.PRNGKey(seed)
+        p_c = _jax.random.uniform(key, (s.nzg, s.nyg, s.nxg), dtype=dt)
+    else:
+        x = (jnp.arange(s.nxg, dtype=dt) + 0.5) / s.nxg - 0.3
+        y = (jnp.arange(s.nyg, dtype=dt) + 0.5) / s.nyg - 0.4
+        z = (jnp.arange(s.nzg, dtype=dt) + 0.5) / s.nzg - 0.2
+        p_c = jnp.exp(-30.0 * (x[None, None, :] ** 2 + y[None, :, None] ** 2
+                               + z[:, None, None] ** 2))
+    r_c = -backend.residual(lev, p_c, jnp.zeros_like(p_c))   # A_c p
+    norm_c = jnp.sum(p_c * r_c)
+    p_f = backend.prolong(lev - 1, p_c)                      # P p
+    r_f = -backend.residual(lev - 1, p_f, jnp.zeros_like(p_f))
+    norm_f = jnp.sum(p_f * r_f)
+    return float(norm_c), float(norm_f), float(norm_c / norm_f * 4.0)
+
+
 # Module-level jitted entry points.  The backend is a pytree ARGUMENT, not
 # a closure capture: its coefficient arrays must be traced inputs, never
 # HLO constants (multi-MB constants wreck compile time, catastrophically so
