@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -75,9 +76,12 @@ def offdiag_columns(pe: jnp.ndarray, cA: jnp.ndarray, real_matrix: bool
     if real_matrix:
         # bottom-level horizontal-diagonal couplings: cA5(k=1) couples
         # (j+1, i-1), cA8(k=1) couples (j-1, i-1) (+ symmetric reads);
-        # mg_relax.f90:271-276 / :475-480
+        # mg_relax.f90:271-276 / :475-480.
+        # (iota-based mask: .at[].set lowers to scatter, which Pallas TPU
+        # can't lower — this function also runs inside the fused kernel)
         nz = pe.shape[0]
-        k0 = jnp.zeros((nz, 1, 1), dtype=pe.dtype).at[0].set(1.0)
+        k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
+              ).astype(pe.dtype)
         s = s + k0 * (
             band(cA, 5) * shift(pe, 0, 1, -1)
             + band(cA, 5, dj=-1, di=1) * shift(pe, 0, -1, 1)

@@ -65,6 +65,13 @@ class SingleDeviceBackend:
         return extend_h1(x)
 
     # -- smoothing / residual ---------------------------------------------
+    def _use_pallas(self, lev: int) -> bool:
+        from .ops.pallas import fits_vmem
+        spec = self.levels[lev]
+        return (self.cfg.use_pallas and spec.nd == 8
+                and jnp.dtype(self.cfg.dtype).itemsize <= 4
+                and fits_vmem(spec.nzg, spec.nyg, spec.nxg))
+
     def relax(self, lev: int, p, b, nsweeps: int):
         spec = self.levels[lev]
         if (lev == self.nlevs - 1 and self.cfg.coarsest == "direct"
@@ -78,6 +85,13 @@ class SingleDeviceBackend:
             return relax_ops.relax_2d(
                 p, b, self.ops[lev].cA, nsweeps,
                 extend_fn=lambda x: self.extend(lev, x))
+        if self._use_pallas(lev):
+            from .ops.pallas import fused_relax
+            interpret = jax.devices()[0].platform == "cpu"
+            return fused_relax(p, b, self.ops[lev].cA, nsweeps,
+                               self.cfg.relax_kind,
+                               self.cfg.cmatrix == "real",
+                               interpret=interpret)
         return relax_ops.relax(
             p, b, self.ops[lev].cA, nsweeps, self.cfg.relax_kind,
             self.cfg.cmatrix == "real",
