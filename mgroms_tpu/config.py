@@ -67,6 +67,13 @@ class SolverConfig:
     # 'pcr' (parallel cyclic reduction — same exact solve, log2(nz)
     # full-width vector steps; the TPU-native choice)
     tridiag: str = "thomas"
+    # compact checkerboard storage for the RB/FC line smoother: evaluate the
+    # neighbour gather + Thomas solve only on the active color's columns
+    # (quad-parity arrays, ops/relax_compact.py) instead of computing every
+    # column and masking — same iterates, ~half the smoother flops.  The
+    # smoother is VPU-compute-bound on TPU, so this is the main single-chip
+    # throughput lever.
+    compact: bool = True
     # coarsest-level treatment: 'relax' (ns_coarsest smoothing sweeps,
     # reference behaviour, mg_solvers.f90:117/144) or 'direct' (multiply by
     # a precomputed dense inverse — one MXU matmul instead of ~2*ns_coarsest

@@ -71,18 +71,35 @@ class NHModel:
         self.metrics = metrics
         self.backend = SingleDeviceBackend(self.levels, ops, self.cfg)
 
-    def distribute(self, npx: int, npy: int, devices=None) -> None:
+    def distribute(self, npx: int, npy: int, devices=None,
+                   comm: str = "gspmd") -> None:
         """Distribute the solve over an (npx, npy) device mesh — the
         reference's 2-D horizontal domain decomposition
         (npxg x npyg, nhydro_init args, nhydro.f90:18).  Call after
-        :meth:`set_matrices`."""
-        from .parallel import DistributedBackend, MeshPlan, make_mesh, \
-            shard_operators
+        :meth:`set_matrices`.
+
+        ``comm`` selects the communication layer:
+          - 'gspmd': global arrays + sharding constraints; XLA inserts the
+            halo collectives, operators replicated.
+          - 'shard_map': explicit two-phase ppermute halo exchange with
+            per-shard-extended operator storage (the reference's MPI
+            protocol made TPU-native; parallel/shardmap_backend.py).
+        """
+        from .parallel import (DistributedBackend, MeshPlan, ShardMapBackend,
+                               make_mesh, shard_operators,
+                               shard_operators_blocked)
         assert self.backend is not None, "call set_matrices first"
         mesh = make_mesh(npx, npy, devices)
         plan = MeshPlan.create(mesh, self.levels, nsmall=self.cfg.nsmall)
-        ops = shard_operators(self.ops, plan)
-        self.backend = DistributedBackend(self.levels, ops, self.cfg, plan)
+        if comm == "shard_map":
+            ops = shard_operators_blocked(self.ops, plan)
+            self.backend = ShardMapBackend(self.levels, ops, self.cfg, plan)
+        elif comm == "gspmd":
+            ops = shard_operators(self.ops, plan)
+            self.backend = DistributedBackend(self.levels, ops, self.cfg,
+                                              plan)
+        else:
+            raise ValueError(f"unknown comm layer {comm!r}")
 
     # -- pieces (also exposed for tests/benchmarks) ------------------------
     def rhs(self, u, v, w) -> jnp.ndarray:

@@ -1,0 +1,208 @@
+"""Compact checkerboard (quad-parity) red-black line relaxation.
+
+The masked RB sweep (ops/relax.py) evaluates the tridiagonal RHS gather and
+the Thomas solve on EVERY column, then commits only the active color — half
+the VPU work is thrown away, and the smoother is compute-bound (the ~16-term
+neighbour gather dominates, not HBM).  This module stores the state in
+*quad-parity* form — four arrays ``Q[a][b] = p[:, a::2, b::2]`` of shape
+(nz, ny/2, nx/2) — so a color update computes exactly the active columns
+and nothing else: the two quads of one checkerboard color are updated from
+shifted reads of the complementary quads.  Same arithmetic, same term order,
+half the flops (bitwise-equal iterates up to XLA scheduling).
+
+Index algebra: a point (j, i) = (2J+a, 2I+b); a neighbour offset (dj, di)
+lands in quad (a', b') = ((a+dj)%2, (b+di)%2) at quad index
+(J + (a+dj-a')/2, I + (b+di-b')/2) — i.e. each stencil term is ONE
+unstrided shifted slice of one quad.  Quad halos (the j=-1/ny, i=-1/nx
+mirror ring of bc.extend_h1) come from sibling quads:
+``Q[1][b]`` row -1 ↔ full j=-1 = p[0] = ``Q[0][b]`` row 0, etc.
+
+Reference semantics preserved (mg_relax.f90:151-334): exact z-line Thomas
+solve per column, halo/BC refresh per color, ``cmatrix='real'`` bottom-level
+horizontal-diagonal couplings read pre-color values of the same color
+(the documented vectorization deviation of ops/relax.py applies unchanged).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .relax import tridiag, tridiag_pcr
+
+Quads = Dict[Tuple[int, int], jnp.ndarray]
+
+
+def split_quads(x: jnp.ndarray) -> Quads:
+    """(nz, ny, nx) -> {(a, b): x[:, a::2, b::2]} via reshape (no gather)."""
+    nz, ny, nx = x.shape
+    r = x.reshape(nz, ny // 2, 2, nx // 2, 2)
+    return {(a, b): r[:, :, a, :, b] for a in (0, 1) for b in (0, 1)}
+
+
+def merge_quads(q: Quads) -> jnp.ndarray:
+    """Inverse of :func:`split_quads` (stack + reshape, no scatter)."""
+    a0 = jnp.stack([q[(0, 0)], q[(0, 1)]], axis=-1)
+    a1 = jnp.stack([q[(1, 0)], q[(1, 1)]], axis=-1)
+    arr = jnp.stack([a0, a1], axis=2)          # (nz, H, 2, W, 2)
+    nz, H, _, W, _ = arr.shape
+    return arr.reshape(nz, 2 * H, 2 * W)
+
+
+def quad_ext_bands(ce: jnp.ndarray) -> Quads:
+    """Quad-sample a halo-extended field ``ce`` (..., ny+2, nx+2) into four
+    extended quads (..., H+2, W+2).
+
+    Extended row R of quad a holds full j = 2(R-1)+a; valid j ∈ [-1, ny]
+    all come from ``ce`` (rows je = j+1); the two never-read junk rows
+    (j = -2 for a=0, j = ny+1 for a=1) are edge duplicates.  Used once per
+    relax call on the 8 operator bands (stride-2 slices, amortized over
+    2*nsweeps color updates).
+    """
+    odd_j = ce[..., 1::2, :]       # j = 0, 2, ..., ny      (H+1 rows)
+    even_j = ce[..., 0::2, :]      # j = -1, 1, ..., ny-1   (H+1 rows)
+    rows = {0: jnp.concatenate([odd_j[..., :1, :], odd_j], axis=-2),
+            1: jnp.concatenate([even_j, even_j[..., -1:, :]], axis=-2)}
+    out = {}
+    for a in (0, 1):
+        r = rows[a]
+        odd_i = r[..., :, 1::2]
+        even_i = r[..., :, 0::2]
+        out[(a, 0)] = jnp.concatenate([odd_i[..., :, :1], odd_i], axis=-1)
+        out[(a, 1)] = jnp.concatenate([even_i, even_i[..., :, -1:]], axis=-1)
+    return out
+
+
+def extend_quads(q: Quads) -> Quads:
+    """Halo-1 extension of the four quad arrays with the physical
+    homogeneous-Neumann mirror rule of bc.extend_h1 (edge copy), halos
+    sourced from sibling quads.  Pure concats — XLA fuses them into the
+    consuming stencil reads."""
+    rj = {}
+    for b in (0, 1):
+        q0, q1 = q[(0, b)], q[(1, b)]
+        # quad 0 rows: [junk(j=-2), j=0..ny-2, halo j=ny = p[ny-1] = q1[-1]]
+        rj[(0, b)] = jnp.concatenate([q0[:, :1], q0, q1[:, -1:]], axis=1)
+        # quad 1 rows: [halo j=-1 = p[0] = q0[0], j=1..ny-1, junk(j=ny+1)]
+        rj[(1, b)] = jnp.concatenate([q0[:, :1], q1, q1[:, -1:]], axis=1)
+    e = {}
+    for a in (0, 1):
+        r0, r1 = rj[(a, 0)], rj[(a, 1)]
+        e[(a, 0)] = jnp.concatenate([r0[:, :, :1], r0, r1[:, :, -1:]], axis=2)
+        e[(a, 1)] = jnp.concatenate([r0[:, :, :1], r1, r1[:, :, -1:]], axis=2)
+    return e
+
+
+def _kshift(x: jnp.ndarray, dk: int) -> jnp.ndarray:
+    """Zero-padded k-shift (no vertical halo — BCs live in the bands)."""
+    if dk == 0:
+        return x
+    z = jnp.zeros_like(x[:1])
+    if dk == 1:
+        return jnp.concatenate([x[1:], z], axis=0)
+    return jnp.concatenate([z, x[:-1]], axis=0)
+
+
+def _qread(e: Quads, a: int, b: int, dj: int, di: int, dk: int = 0
+           ) -> jnp.ndarray:
+    """Value at offset (dk, dj, di) from every target-quad-(a,b) point:
+    one shifted interior slice of the source quad."""
+    a2, b2 = (a + dj) % 2, (b + di) % 2
+    rj = (a + dj - a2) // 2
+    ri = (b + di - b2) // 2
+    x = e[(a2, b2)]
+    H, W = x.shape[-2] - 2, x.shape[-1] - 2
+    return _kshift(x[:, 1 + rj:1 + rj + H, 1 + ri:1 + ri + W], dk)
+
+
+def _offdiag_quad(e: Quads, qa: list, a: int, b: int,
+                  real_matrix: bool, k0: jnp.ndarray) -> jnp.ndarray:
+    """Off-column coupling sum for target quad (a, b) — term-for-term the
+    quad form of ops/stencil.offdiag_columns (mg_relax.f90:263-300)."""
+    def P(dk, dj, di):
+        return _qread(e, a, b, dj, di, dk)
+
+    def B(n, dk=0, dj=0, di=0):
+        return _qread(qa[n - 1], a, b, dj, di, dk)
+
+    s = (
+        B(3) * P(1, -1, 0) + B(3, dk=-1, dj=1) * P(-1, 1, 0)
+        + B(4) * P(0, -1, 0) + B(4, dj=1) * P(0, 1, 0)
+        + B(5) * P(-1, -1, 0) + B(5, dk=1, dj=1) * P(1, 1, 0)
+        + B(6) * P(1, 0, -1) + B(6, dk=-1, di=1) * P(-1, 0, 1)
+        + B(7) * P(0, 0, -1) + B(7, di=1) * P(0, 0, 1)
+        + B(8) * P(-1, 0, -1) + B(8, dk=1, di=1) * P(1, 0, 1)
+    )
+    if real_matrix:
+        # bottom-level horizontal-diagonal couplings (mg_relax.f90:271-276)
+        s = s + k0 * (
+            B(5) * P(0, 1, -1) + B(5, dj=-1, di=1) * P(0, -1, 1)
+            + B(8) * P(0, -1, -1) + B(8, dj=1, di=1) * P(0, 1, 1))
+    return s
+
+
+_RB_TARGETS = (((0, 0), (1, 1)),   # color 0: (i + j) even
+               ((0, 1), (1, 0)))   # color 1: (i + j) odd
+# FC reference order (mg_relax.f90:214-228): (i even, j even), (i even,
+# j odd), (i odd, j even), (i odd, j odd) — quad key is (a, b) = (j%2, i%2)
+_FC_TARGETS = (((0, 0),), ((1, 0),), ((0, 1),), ((1, 1),))
+
+
+def relax_compact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
+                  nsweeps: int, kind: str, real_matrix: bool,
+                  tridiag_method: str = "thomas") -> jnp.ndarray:
+    """``nsweeps`` RB (or FC) line-smoothing sweeps in quad-parity form.
+
+    Single-shard form: physical mirror BCs on every edge (the quad
+    equivalent of bc.extend_h1).  Requires even ny, nx.
+    """
+    nz, ny, nx = p.shape
+    assert ny % 2 == 0 and nx % 2 == 0, "compact relax needs even ny, nx"
+    targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
+    solver = tridiag_pcr if tridiag_method == "pcr" else tridiag
+
+    qa = [quad_ext_bands(cA[n]) for n in range(cA.shape[0])]
+    bq = split_quads(b)
+    # in-column tridiagonal coefficients per quad (interior slices)
+    dq = {k: v[:, 1:-1, 1:-1] for k, v in qa[0].items()}
+    udq = {k: v[1:, 1:-1, 1:-1] for k, v in qa[1].items()}
+    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
+          ).astype(p.dtype) if real_matrix else None
+
+    def color_update(q: Quads, targets) -> Quads:
+        e = extend_quads(q)
+        rhs = [bq[t] - _offdiag_quad(e, qa, t[0], t[1], real_matrix, k0)
+               for t in targets]
+        # concat target quads along x: one full-width tridiag solve
+        sol = solver(
+            jnp.concatenate([dq[t] for t in targets], axis=-1),
+            jnp.concatenate([udq[t] for t in targets], axis=-1),
+            jnp.concatenate(rhs, axis=-1))
+        q = dict(q)
+        W = p.shape[2] // 2
+        for n, t in enumerate(targets):
+            q[t] = sol[..., n * W:(n + 1) * W]
+        return q
+
+    def sweep(q):
+        for targets in targets_by_color:
+            q = color_update(q, targets)
+        return q
+
+    q0 = split_quads(p)
+    keys = sorted(q0)
+    if nsweeps <= 1:
+        q = q0
+        for _ in range(nsweeps):
+            q = sweep(q)
+        return merge_quads(q)
+
+    def body(i, flat):
+        q = sweep(dict(zip(keys, flat)))
+        return tuple(q[k] for k in keys)
+
+    flat = jax.lax.fori_loop(0, nsweeps, body,
+                             tuple(q0[k] for k in keys))
+    return merge_quads(dict(zip(keys, flat)))

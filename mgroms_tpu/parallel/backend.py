@@ -69,6 +69,12 @@ class DistributedBackend(SingleDeviceBackend):
         levels, cfg, plan = aux
         return cls(list(levels), list(children[0]), cfg, plan)
 
+    def _use_compact(self, lev):
+        # quad-parity reshape of a py/px-sharded array would force GSPMD
+        # resharding; compact form only on replicated (agglomerated) levels
+        return (not self.plan.shards[lev].sharded
+                and super()._use_compact(lev))
+
     def relax(self, lev, p, b, nsweeps):
         p = self.plan.constrain(lev, p)
         return self.plan.constrain(

@@ -1,0 +1,97 @@
+"""Explicit halo exchange: ppermute neighbour shifts inside shard_map.
+
+TPU-native equivalent of the reference's MPI halo protocol
+(``src/mg_mpi_exchange.f90``): 8-direction nonblocking ISend/IRecv with
+physical BCs folded into the fill where a neighbour is ``MPI_PROC_NULL``
+(:104-324, Neumann mirror :112-201).  Here each direction is a
+``jax.lax.ppermute`` edge-slice shift over the ('py','px') mesh axes —
+point-to-point ICI traffic, exactly one neighbour hop — and domain-edge
+shards substitute the homogeneous-Neumann mirror (edge copy, the nh=1 rule
+of bc.extend_h1).
+
+Corners: the exchange is two-phase — extend in x first, then exchange the
+x-extended rows in y — so corner halo cells arrive transitively through the
+cardinal neighbours (the reference instead sends 4 extra diagonal messages;
+the two-phase form has the same result and matches its corner fallback
+semantics, mg_mpi_exchange.f90:326-349).
+
+These functions must run inside ``jax.shard_map`` over a mesh with the
+named axes present; arrays are the *local* shard blocks (nz, ny_l, nx_l).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _extend_axis(x: jnp.ndarray, axis_name: str, ax: int) -> jnp.ndarray:
+    """Halo-1 extension of local array ``x`` along dimension ``ax``
+    (sharded over mesh axis ``axis_name``): neighbour edge slices via
+    ppermute, physical mirror (edge copy) at the domain boundary."""
+    n = lax.axis_size(axis_name)
+    m = x.shape[ax]
+    lo_edge = lax.slice_in_dim(x, 0, 1, axis=ax)
+    hi_edge = lax.slice_in_dim(x, m - 1, m, axis=ax)
+    if n == 1:
+        lo_halo, hi_halo = lo_edge, hi_edge
+    else:
+        idx = lax.axis_index(axis_name)
+        # from my lower neighbour: its high edge (fills my low halo)
+        from_lo = lax.ppermute(hi_edge, axis_name,
+                               [(i, i + 1) for i in range(n - 1)])
+        # from my upper neighbour: its low edge (fills my high halo)
+        from_hi = lax.ppermute(lo_edge, axis_name,
+                               [(i + 1, i) for i in range(n - 1)])
+        lo_halo = jnp.where(idx == 0, lo_edge, from_lo)
+        hi_halo = jnp.where(idx == n - 1, hi_edge, from_hi)
+    return jnp.concatenate([lo_halo, x, hi_halo], axis=ax)
+
+
+def halo_extend(x: jnp.ndarray, py_axis: str = "py", px_axis: str = "px"
+                ) -> jnp.ndarray:
+    """Local (…, ny_l, nx_l) -> (…, ny_l+2, nx_l+2) with neighbour data at
+    shard seams and Neumann-mirror physical BCs at domain edges.  x-phase
+    first, then y on the x-extended rows (corners ride along)."""
+    x = _extend_axis(x, px_axis, x.ndim - 1)
+    return _extend_axis(x, py_axis, x.ndim - 2)
+
+
+def axis_offsets(ny_l: int, nx_l: int, py_axis: str = "py",
+                 px_axis: str = "px"):
+    """Global interior origin (j0, i0) of this shard — feeds the global
+    red-black parity (reference color rule mod(i+j), mg_relax.f90:172)."""
+    j0 = lax.axis_index(py_axis) * ny_l
+    i0 = lax.axis_index(px_axis) * nx_l
+    return j0, i0
+
+
+def psum2(x: jnp.ndarray, py_axis: str = "py", px_axis: str = "px"):
+    """Global scalar reduction over the mesh (``global_sum``,
+    mg_mpi_exchange.f90:1555-1571)."""
+    return lax.psum(lax.psum(x, px_axis), py_axis)
+
+
+def block_extended(a_ext: jnp.ndarray, npy: int, npx: int) -> jnp.ndarray:
+    """Per-shard-extended blocked layout of a halo-extended global field.
+
+    Input ``a_ext`` is (…, nyg+2, nxg+2) (interior + physical mirror ring).
+    Output is (…, npy*(ny_l+2), npx*(nx_l+2)) where block (pj, pi) holds
+    that shard's interior tile *plus its own halo ring* — neighbour-region
+    values at interior seams, the physical ring at domain edges.  Sharded
+    P('py','px') on the last two dims, each device stores exactly its
+    extended tile: this is the reference's per-rank ``cA(nd,nz,0:ny+1,
+    0:nx+1)`` storage (mg_grids.f90:24-65) and removes the operator
+    replication cost of the GSPMD backend.
+    """
+    nyg, nxg = a_ext.shape[-2] - 2, a_ext.shape[-1] - 2
+    ny_l, nx_l = nyg // npy, nxg // npx
+    rows = []
+    for pj in range(npy):
+        cols = []
+        for pi in range(npx):
+            cols.append(a_ext[..., pj * ny_l: pj * ny_l + ny_l + 2,
+                              pi * nx_l: pi * nx_l + nx_l + 2])
+        rows.append(jnp.concatenate(cols, axis=-1))
+    return jnp.concatenate(rows, axis=-2)

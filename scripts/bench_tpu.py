@@ -1,0 +1,98 @@
+"""Ad-hoc single-chip TPU benchmark: F-cycle time for any case/size/config.
+
+Usage:
+  python scripts/bench_tpu.py --case seamount --n 64
+  python scripts/bench_tpu.py --case cuc --nx 1024 --ny 1024 --nz 64 \
+      --no-compact
+
+One compiled program, dynamic trip count, D2H-forced timing (see
+utils/timing notes in CLAUDE.md — block_until_ready is unreliable over the
+axon tunnel).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="seamount",
+                    choices=["seamount", "cuc", "rndtopo"])
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--ny", type=int, default=64)
+    ap.add_argument("--nz", type=int, default=64)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--no-compact", action="store_true")
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--coarsest", default="direct")
+    args = ap.parse_args()
+
+    from mgroms_tpu import NHModel, SolverConfig
+    from mgroms_tpu.solver import fcycle
+
+    dt = jnp.dtype(args.dtype)
+    if args.case == "seamount":
+        from mgroms_tpu.cases.seamount import setup_seamount
+        case = setup_seamount(args.nx, args.ny, args.nz, dtype=dt)
+    elif args.case == "rndtopo":
+        from mgroms_tpu.cases.rndtopo import setup_rndtopo
+        case = setup_rndtopo(args.nx, args.ny, args.nz, dtype=dt)
+    else:
+        from mgroms_tpu.cases.cuc import setup_cuc_synthetic
+        case = setup_cuc_synthetic(args.nx, args.ny, args.nz, dtype=dt)
+
+    cfg = SolverConfig(dtype=args.dtype, compact=not args.no_compact,
+                       use_pallas=args.pallas, coarsest=args.coarsest)
+    m = NHModel(args.nx, args.ny, args.nz, cfg=cfg)
+    m.set_matrices(case.dx, case.dy, case.zeta, case.h, hc=case.hc,
+                   theta_b=case.theta_b, theta_s=case.theta_s)
+    from mgroms_tpu.cases.seamount import initial_velocities
+    u, v, w = initial_velocities(args.nx, args.ny, args.nz, dtype=dt)
+    b = m.rhs(u, v, w)
+    be = m.backend
+
+    @jax.jit
+    def run(be, b, n):
+        p = be.zeros(0)
+        r = be.residual(0, p, b)
+
+        def body(i, state):
+            p, r = state
+            p = fcycle(be, p, b, r, cfg)
+            r = be.residual(0, p, b)
+            return (p, r)
+
+        p, r = jax.lax.fori_loop(0, n, body, (p, r))
+        return jnp.sqrt(be.norm_sq(0, r)) / jnp.sqrt(be.norm_sq(0, b))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        res = float(run(be, b, jnp.int32(n)))
+        return time.perf_counter() - t0, res
+
+    timed(1)                      # compile + warm
+    t1, _ = timed(1)
+    tN, res = timed(args.reps + 1)
+    dtc = max((tN - t1) / args.reps, 1e-9)
+    dof = args.nx * args.ny * args.nz
+    print(json.dumps({
+        "case": args.case, "grid": [args.nz, args.ny, args.nx],
+        "dtype": args.dtype, "compact": not args.no_compact,
+        "pallas": args.pallas,
+        "fcycle_ms": round(dtc * 1e3, 3),
+        "mdof_per_s": round(dof / dtc / 1e6, 1),
+        "rel_residual_after_reps": res,
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Explicit shard_map backend vs single-device equivalence (8-dev CPU mesh).
+
+The ppermute halo exchange + per-shard-extended operators must reproduce
+the single-device iterates exactly: seam halos carry neighbour interior
+values, domain-edge halos the Neumann mirror — the same extended array
+bc.extend_h1 builds globally (reference protocol: mg_mpi_exchange.f90).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from mgroms_tpu import NHModel, SolverConfig
+from mgroms_tpu.bc import extend_h1
+from mgroms_tpu.cases.seamount import initial_velocities, setup_seamount
+from mgroms_tpu.parallel import make_mesh
+from mgroms_tpu.parallel.exchange import block_extended, halo_extend
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 virtual devices")
+
+
+@needs8
+def test_halo_extend_matches_global_extension():
+    """Per-shard halo_extend == the shard's slice of the global extend_h1
+    (both seam and physical-edge halos)."""
+    mesh = make_mesh(4, 2)
+    nz, ny, nx = 3, 8, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((nz, ny, nx)))
+
+    f = jax.jit(jax.shard_map(
+        halo_extend, mesh=mesh,
+        in_specs=(P(None, "py", "px"),),
+        out_specs=P(None, "py", "px")))
+    got = np.asarray(f(x))          # blocked: (nz, 2*(4+2), 4*(4+2))
+
+    ge = np.asarray(extend_h1(x))   # global (nz, ny+2, nx+2)
+    want = np.asarray(block_extended(jnp.asarray(ge), 2, 4))
+    np.testing.assert_array_equal(got, want)
+
+
+def _solve(nx, ny, nz, mesh_shape=None, comm="gspmd", **cfg_kw):
+    m = NHModel(nx, ny, nz, cfg=SolverConfig(**cfg_kw))
+    c = setup_seamount(nx, ny, nz)
+    m.set_matrices(c.dx, c.dy, c.zeta, c.h, hc=c.hc,
+                   theta_b=c.theta_b, theta_s=c.theta_s)
+    if mesh_shape is not None:
+        m.distribute(*mesh_shape, comm=comm)
+    u, v, w = initial_velocities(nx, ny, nz)
+    b = m.rhs(u, v, w)
+    p, info = m.pressure_solve(b, tol=1e-10, maxiter=12)
+    return np.asarray(p), info
+
+
+@needs8
+def test_shardmap_matches_single_4x2():
+    p1, i1 = _solve(32, 16, 8)
+    p2, i2 = _solve(32, 16, 8, mesh_shape=(4, 2), comm="shard_map")
+    assert i2.res <= 1e-8
+    np.testing.assert_allclose(p2, p1, rtol=1e-9,
+                               atol=1e-9 * np.abs(p1).max())
+    np.testing.assert_allclose(i1.history, i2.history, rtol=1e-4)
+
+
+@needs8
+def test_shardmap_matches_gspmd_2x2():
+    p1, i1 = _solve(16, 16, 16, mesh_shape=(2, 2), comm="gspmd")
+    p2, i2 = _solve(16, 16, 16, mesh_shape=(2, 2), comm="shard_map")
+    assert i2.res <= 1e-10
+    np.testing.assert_allclose(p2, p1, rtol=1e-9,
+                               atol=1e-9 * np.abs(p1).max())
+
+
+@needs8
+def test_blocked_operator_storage_is_sharded():
+    """Per-shard-extended cA: each device holds one extended tile (the
+    per-rank allocation of mg_grids.f90:24-65), not a replica."""
+    m = NHModel(32, 16, 8, cfg=SolverConfig())
+    c = setup_seamount(32, 16, 8)
+    m.set_matrices(c.dx, c.dy, c.zeta, c.h, hc=c.hc,
+                   theta_b=c.theta_b, theta_s=c.theta_s)
+    m.distribute(4, 2, comm="shard_map")
+    cA = m.backend.ops[0].cA
+    assert cA.shape[-2:] == (2 * (8 + 2), 4 * (8 + 2))
+    # sharded: each addressable shard holds 1/8 of the blocked array
+    shard_shapes = {s.data.shape for s in cA.addressable_shards}
+    assert shard_shapes == {(8, 8, 10, 10)}
