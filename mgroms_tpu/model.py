@@ -101,6 +101,13 @@ class NHModel:
         else:
             raise ValueError(f"unknown comm layer {comm!r}")
 
+    def offload_metrics(self) -> None:
+        """Move the fine-level metric fields (rhs/projection inputs; ~2 GB
+        at CUC scale) to host memory, freeing HBM for the solve.  They are
+        re-transferred automatically when rhs()/project() next runs."""
+        cpu = jax.devices("cpu")[0]
+        self.metrics = jax.device_put(self.metrics, cpu)
+
     # -- pieces (also exposed for tests/benchmarks) ------------------------
     def rhs(self, u, v, w) -> jnp.ndarray:
         assert self.metrics is not None, "call set_matrices first"

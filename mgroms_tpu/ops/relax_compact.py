@@ -31,24 +31,25 @@ import jax
 import jax.numpy as jnp
 
 from .relax import tridiag, tridiag_pcr
+from .transfer import _interleave
 
 Quads = Dict[Tuple[int, int], jnp.ndarray]
 
 
 def split_quads(x: jnp.ndarray) -> Quads:
-    """(nz, ny, nx) -> {(a, b): x[:, a::2, b::2]} via reshape (no gather)."""
-    nz, ny, nx = x.shape
-    r = x.reshape(nz, ny // 2, 2, nx // 2, 2)
-    return {(a, b): r[:, :, a, :, b] for a in (0, 1) for b in (0, 1)}
+    """(nz, ny, nx) -> {(a, b): x[:, a::2, b::2]} via strided slices.
+
+    (NOT a reshape to (nz, H, 2, W, 2): a size-2 minor dim pads 2 -> 128
+    on TPU — a 64x-expanded temp, 16 GB at the CUC fine level.)"""
+    return {(a, b): x[:, a::2, b::2] for a in (0, 1) for b in (0, 1)}
 
 
 def merge_quads(q: Quads) -> jnp.ndarray:
-    """Inverse of :func:`split_quads` (stack + reshape, no scatter)."""
-    a0 = jnp.stack([q[(0, 0)], q[(0, 1)]], axis=-1)
-    a1 = jnp.stack([q[(1, 0)], q[(1, 1)]], axis=-1)
-    arr = jnp.stack([a0, a1], axis=2)          # (nz, H, 2, W, 2)
-    nz, H, _, W, _ = arr.shape
-    return arr.reshape(nz, 2 * H, 2 * W)
+    """Inverse of :func:`split_quads` — sublane stack in y at half width,
+    MXU one-hot scatter in x (see ops/transfer._interleave layout notes)."""
+    col0 = _interleave(q[(0, 0)], q[(1, 0)], axis=-2)
+    col1 = _interleave(q[(0, 1)], q[(1, 1)], axis=-2)
+    return _interleave(col0, col1, axis=-1)
 
 
 def quad_ext_bands(ce: jnp.ndarray) -> Quads:

@@ -16,21 +16,31 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# TPU layout note (hard-won, see the CUC OOM in CLAUDE.md): any reshape or
+# stack that creates a size-2 MINOR dimension materializes a temp padded
+# 2 -> 128 on the lane axis — a 64x memory expansion (16 GB at 1024^2 x 64).
+# All pair-sum / interleave patterns here therefore use, in order of
+# preference: strided slices (reads are fine), major-axis stacks (free),
+# sublane-axis stacks (4x on a small temp), and MXU one-hot scatter matmuls
+# for the minor (x) axis — a (nxc, 2nxc) constant two-hot matrix is exact
+# (one nonzero per output) and costs ~nothing on the MXU.
+
 
 def restrict_3d(r: jnp.ndarray) -> jnp.ndarray:
     """Coarse = sum of the 8 fine children (mg_intergrids.f90:139-162).
-    Also covers the 3D->2D case (fine nz==2 -> coarse nz==1, :124-134)."""
-    nz, ny, nx = r.shape
-    return (r.reshape(nz // 2, 2, ny // 2, 2, nx // 2, 2)
-            .sum(axis=(1, 3, 5)))
+    Also covers the 3D->2D case (fine nz==2 -> coarse nz==1, :124-134).
+    Pairwise strided-slice sums — no padded dim-2 temps."""
+    rz = r[0::2] + r[1::2]
+    ry = rz[:, 0::2] + rz[:, 1::2]
+    return ry[:, :, 0::2] + ry[:, :, 1::2]
 
 
 def restrict_2d(r: jnp.ndarray) -> jnp.ndarray:
     """2-D levels: coarse = sum of the 4 fine children
     (fine2coarse_2D, mg_intergrids.f90:104-122)."""
-    nz, ny, nx = r.shape
-    assert nz == 1
-    return r.reshape(1, ny // 2, 2, nx // 2, 2).sum(axis=(2, 4))
+    assert r.shape[0] == 1
+    ry = r[:, 0::2] + r[:, 1::2]
+    return ry[:, :, 0::2] + ry[:, :, 1::2]
 
 
 def restrict_aggressive(r: jnp.ndarray) -> jnp.ndarray:
@@ -48,12 +58,39 @@ def restrict(r: jnp.ndarray, aggressive: bool = False) -> jnp.ndarray:
     return restrict_3d(r)
 
 
+def _scatter_matrix(n: int, phase: int, dtype) -> jnp.ndarray:
+    """(n, 2n) one-hot scatter: out column 2m+phase <- input m.  A constant
+    XLA folds; multiplying by it is exact (single nonzero per column)."""
+    cols = jnp.arange(2 * n)
+    rows = jnp.arange(n)[:, None]
+    return ((cols[None, :] == 2 * rows + phase)).astype(dtype)
+
+
 def _interleave(a0: jnp.ndarray, a1: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Merge two arrays so that out[..., 2m] = a0[..., m], out[..., 2m+1] =
-    a1[..., m] along ``axis``."""
-    stacked = jnp.stack([a0, a1], axis=axis + 1 if axis >= 0 else a0.ndim + axis + 1)
+    a1[..., m] along ``axis``.
+
+    axis 0 (z, major): stack + reshape — layout-free.
+    axis -2 (y, sublanes): stack + reshape — 2 pads to 8 sublanes (4x) on
+      one transient, acceptable.
+    axis -1 (x, lanes): MXU scatter matmul — a stacked dim-2 lane axis
+      would pad 2 -> 128 (64x, the CUC OOM).
+    """
+    if axis == -1 or axis == a0.ndim - 1:
+        import jax
+        n = a0.shape[-1]
+        # precision=HIGHEST is required: the TPU default lowers f32 matmuls
+        # to bf16 passes, which would TRUNCATE the interleaved values (a
+        # convergence-killing silent corruption); with one-hot operands the
+        # highest-precision product is exact in any dtype
+        hp = jax.lax.Precision.HIGHEST
+        return (jnp.matmul(a0, _scatter_matrix(n, 0, a0.dtype), precision=hp)
+                + jnp.matmul(a1, _scatter_matrix(n, 1, a0.dtype),
+                             precision=hp))
+    ax = axis if axis >= 0 else a0.ndim + axis
+    stacked = jnp.stack([a0, a1], axis=ax + 1)
     shape = list(a0.shape)
-    shape[axis] = 2 * a0.shape[axis]
+    shape[ax] = 2 * a0.shape[ax]
     return stacked.reshape(shape)
 
 
@@ -103,35 +140,34 @@ def prolong_3d_linear(xce: jnp.ndarray) -> jnp.ndarray:
         return _interleave(ev, od, axis=0)
 
     V = {ts: vprofile(Hc) for ts, Hc in H.items()}
-    lo = _interleave(V[0, 0], V[0, 1], axis=-1)
-    hi = _interleave(V[1, 0], V[1, 1], axis=-1)
-    return _interleave(lo, hi, axis=-2)
+    # y (sublane stack) first at half width, x (MXU scatter) last
+    lo = _interleave(V[0, 0], V[1, 0], axis=-2)
+    hi = _interleave(V[0, 1], V[1, 1], axis=-2)
+    return _interleave(lo, hi, axis=-1)
 
 
 def prolong_3d_nearest(xce: jnp.ndarray) -> jnp.ndarray:
     """8-way injection (coarse2fine_3D_nearest, mg_intergrids.f90:336-363)."""
     xc = xce[..., 1:-1, 1:-1]
-    nzc, nyc, nxc = xc.shape
-    out = jnp.broadcast_to(xc[:, None, :, None, :, None],
-                           (nzc, 2, nyc, 2, nxc, 2))
-    return out.reshape(2 * nzc, 2 * nyc, 2 * nxc)
+    xz = _interleave(xc, xc, axis=0)
+    xy = _interleave(xz, xz, axis=-2)
+    return _interleave(xy, xy, axis=-1)
 
 
 def prolong_2d_linear(xce: jnp.ndarray) -> jnp.ndarray:
     """Bilinear prolongation for nz==1 levels (coarse2fine_2D_linear,
     mg_intergrids.f90:295-333)."""
     H = _bilinear_combos(xce)
-    lo = _interleave(H[0, 0], H[0, 1], axis=-1)
-    hi = _interleave(H[1, 0], H[1, 1], axis=-1)
-    return _interleave(lo, hi, axis=-2)
+    lo = _interleave(H[0, 0], H[1, 0], axis=-2)
+    hi = _interleave(H[0, 1], H[1, 1], axis=-2)
+    return _interleave(lo, hi, axis=-1)
 
 
 def prolong_2d_nearest(xce: jnp.ndarray) -> jnp.ndarray:
     """4-way injection (coarse2fine_2D_nearest, mg_intergrids.f90:250-292)."""
     xc = xce[..., 1:-1, 1:-1]
-    nzc, nyc, nxc = xc.shape
-    out = jnp.broadcast_to(xc[:, :, None, :, None], (nzc, nyc, 2, nxc, 2))
-    return out.reshape(nzc, 2 * nyc, 2 * nxc)
+    xy = _interleave(xc, xc, axis=-2)
+    return _interleave(xy, xy, axis=-1)
 
 
 def prolong(xce: jnp.ndarray, fine_nz: int, interp_type: str,

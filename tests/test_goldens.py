@@ -29,8 +29,11 @@ def test_seamount32_history_matches_golden():
     b = m.rhs(u, v, w)
     p, info = m.pressure_solve(b, tol=1e-12, maxiter=30)
     assert info.niter == gold["niter"]
+    # atol floor: normalized residuals below ~1e-15 of ||b|| are summation-
+    # order noise (compact relax / MXU-scatter transfers reorder sums)
     np.testing.assert_allclose(np.array(info.history),
-                               np.array(gold["history"]), rtol=1e-6)
+                               np.array(gold["history"]),
+                               rtol=1e-6, atol=1e-15)
 
 
 def test_seamount64_golden_exists_and_is_fast():
