@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--coarsest", default="direct")
+    ap.add_argument("--tridiag", default="thomas", choices=["thomas", "pcr"])
     ap.add_argument("--refine", action="store_true",
                     help="mixed-precision defect correction: f32 cycles on "
                          "the device, f64 residuals on host; targets 1e-12")
@@ -56,7 +57,8 @@ def main():
         case = setup_cuc_synthetic(args.nx, args.ny, args.nz, dtype=dt)
 
     cfg = SolverConfig(dtype=args.dtype, compact=not args.no_compact,
-                       use_pallas=args.pallas, coarsest=args.coarsest)
+                       use_pallas=args.pallas, coarsest=args.coarsest,
+                       tridiag=args.tridiag)
     m = NHModel(args.nx, args.ny, args.nz, cfg=cfg)
     m.set_matrices(case.dx, case.dy, case.zeta, case.h, hc=case.hc,
                    theta_b=case.theta_b, theta_s=case.theta_s)
@@ -95,7 +97,7 @@ def main():
     print(json.dumps({
         "case": args.case, "grid": [args.nz, args.ny, args.nx],
         "dtype": args.dtype, "compact": not args.no_compact,
-        "pallas": args.pallas,
+        "pallas": args.pallas, "tridiag": args.tridiag,
         "fcycle_ms": round(dtc * 1e3, 3),
         "mdof_per_s": round(dof / dtc / 1e6, 1),
         "rel_residual_after_reps": res,
