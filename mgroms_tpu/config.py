@@ -74,6 +74,16 @@ class SolverConfig:
     # smoother is VPU-compute-bound on TPU, so this is the main single-chip
     # throughput lever.
     compact: bool = True
+    # tiled Pallas kernels for the hot stencils on TPU (fused residual,
+    # fused compact color update): stream j-tiles through VMEM so every
+    # operand byte crosses HBM once — the XLA lowering leaves ~6-12x of
+    # HBM bandwidth on the table at CUC scale (see CLAUDE.md numbers)
+    pallas_tiled: bool = True
+    # tiled Pallas fused color-update smoother: measured parity with the
+    # XLA compact path at CUC scale (62 vs 61 ms/sweep — single-buffered
+    # window DMA serializes against compute), so off by default;
+    # kept for the double-buffered/overlapped iteration
+    pallas_tiled_relax: bool = False
     # coarsest-level treatment: 'relax' (ns_coarsest smoothing sweeps,
     # reference behaviour, mg_solvers.f90:117/144) or 'direct' (multiply by
     # a precomputed dense inverse — one MXU matmul instead of ~2*ns_coarsest

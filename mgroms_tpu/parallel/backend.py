@@ -75,6 +75,13 @@ class DistributedBackend(SingleDeviceBackend):
         return (not self.plan.shards[lev].sharded
                 and super()._use_compact(lev))
 
+    def _use_tiled(self, lev, kind):
+        # a pallas_call on a GSPMD-sharded global array would force a
+        # gather; tiled kernels only on replicated levels here (the
+        # shard_map backend can run them on local blocks)
+        return (not self.plan.shards[lev].sharded
+                and super()._use_tiled(lev, kind))
+
     def relax(self, lev, p, b, nsweeps):
         p = self.plan.constrain(lev, p)
         return self.plan.constrain(

@@ -109,6 +109,11 @@ class SingleDeviceBackend:
                                self.cfg.cmatrix == "real",
                                interpret=interpret)
         if self._use_compact(lev):
+            if self._use_tiled(lev, kind="relax"):
+                from .ops.pallas.relax_tiled import relax_compact_tiled
+                return relax_compact_tiled(p, b, self.ops[lev].cA, nsweeps,
+                                           self.cfg.relax_kind,
+                                           self.cfg.cmatrix == "real")
             from .ops.relax_compact import relax_compact
             return relax_compact(p, b, self.ops[lev].cA, nsweeps,
                                  self.cfg.relax_kind,
@@ -120,8 +125,34 @@ class SingleDeviceBackend:
             extend_fn=lambda x: self.extend(lev, x),
             tridiag_method=self.cfg.tridiag)
 
+    def _use_tiled(self, lev: int, kind: str) -> bool:
+        """Tiled Pallas hot kernels: TPU only (CPU correctness is covered
+        by interpret-mode tests), single-shard arrays, shapes the Mosaic
+        tiling supports.  The distributed backend vetoes sharded levels."""
+        spec = self.levels[lev]
+        if not (self.cfg.pallas_tiled and spec.nd == 8
+                and jax.devices()[0].platform != "cpu"):
+            return False
+        item = jnp.dtype(self.cfg.dtype).itemsize
+        if kind == "relax":
+            if not self.cfg.pallas_tiled_relax:
+                return False
+            from .ops.pallas.relax_tiled import supports
+            return supports(spec.nzg, spec.nyg // 2, spec.nxg // 2, item)
+        # small grids: per-call kernel overhead + window padding beat the
+        # fusion gain (64^3 F-cycle regressed 1.36 -> 1.71 ms); the tiled
+        # residual wins from ~256-wide levels (CUC 344 -> 309 ms/F-cycle)
+        if spec.nxg < 256:
+            return False
+        from .ops.pallas.stencil_tiled import supports
+        return supports(spec.nzg, spec.nyg, spec.nxg, item)
+
     def residual(self, lev: int, p, b):
         pe = self.extend(lev, p)
+        if self._use_tiled(lev, kind="residual"):
+            from .ops.pallas.stencil_tiled import residual_tiled
+            return residual_tiled(pe, b, self.ops[lev].cA,
+                                  self.cfg.cmatrix == "real")
         return stencil.residual(pe, b, self.ops[lev].cA,
                                 self.cfg.cmatrix == "real")
 
