@@ -153,12 +153,17 @@ _FC_TARGETS = (((0, 0),), ((1, 0),), ((0, 1),), ((1, 1),))
 
 def relax_compact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
                   nsweeps: int, kind: str, real_matrix: bool,
-                  tridiag_method: str = "thomas") -> jnp.ndarray:
+                  tridiag_method: str = "thomas",
+                  extend_fn=None) -> jnp.ndarray:
     """``nsweeps`` RB (or FC) line-smoothing sweeps in quad-parity form.
 
-    Single-shard form: physical mirror BCs on every edge (the quad
-    equivalent of bc.extend_h1).  Requires even ny, nx.
+    ``extend_fn`` maps the four quads to their halo-extended forms; the
+    default is the single-shard physical-mirror rule (:func:`extend_quads`).
+    The distributed backend passes a ppermute seam exchange
+    (parallel/exchange.extend_quads_shard) — shard tiles must have even
+    dims so local quad parity equals global parity.  Requires even ny, nx.
     """
+    extend = extend_fn or extend_quads
     nz, ny, nx = p.shape
     assert ny % 2 == 0 and nx % 2 == 0, "compact relax needs even ny, nx"
     targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
@@ -173,7 +178,7 @@ def relax_compact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
           ).astype(p.dtype) if real_matrix else None
 
     def color_update(q: Quads, targets) -> Quads:
-        e = extend_quads(q)
+        e = extend(q)
         rhs = [bq[t] - _offdiag_quad(e, qa, t[0], t[1], real_matrix, k0)
                for t in targets]
         # concat target quads along x: one full-width tridiag solve

@@ -58,6 +58,55 @@ def halo_extend(x: jnp.ndarray, py_axis: str = "py", px_axis: str = "px"
     return _extend_axis(x, py_axis, x.ndim - 2)
 
 
+def _edge_pair(lo_own, hi_own, lo_mirror, hi_mirror, axis_name):
+    """Seam halos for a quad pair along one mesh axis: receive the
+    neighbour's edge slice, substitute the physical mirror at the domain
+    boundary.  ``lo_own``/``hi_own`` are the slices this shard SENDS (its
+    first/last active row of the relevant quad); ``lo_mirror``/``hi_mirror``
+    the in-shard mirror values used at the domain edges."""
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        return lo_mirror, hi_mirror
+    idx = lax.axis_index(axis_name)
+    from_lo = lax.ppermute(hi_own, axis_name,
+                           [(i, i + 1) for i in range(n - 1)])
+    from_hi = lax.ppermute(lo_own, axis_name,
+                           [(i + 1, i) for i in range(n - 1)])
+    lo = jnp.where(idx == 0, lo_mirror, from_lo)
+    hi = jnp.where(idx == n - 1, hi_mirror, from_hi)
+    return lo, hi
+
+
+def extend_quads_shard(q, py_axis: str = "py", px_axis: str = "px"):
+    """Distributed quad-parity halo extension (inside shard_map).
+
+    The seam image of ops/relax_compact.extend_quads: full j = -1 is the
+    south neighbour's j = ny_l-1 (its quad a=1 row H-1); full j = ny_l is
+    the north neighbour's j = 0 (quad a=0 row 0); physical edges keep the
+    Neumann mirror from sibling quads.  Requires even local tiles so local
+    quad parity equals global parity.  Two-phase (j then i on the
+    j-extended arrays) so corner cells arrive transitively.
+    """
+    rj = {}
+    for b in (0, 1):
+        q0, q1 = q[(0, b)], q[(1, b)]
+        # halo below quad1 (j=-1) / above quad0 (j=ny_l)
+        lo, hi = _edge_pair(lo_own=q0[:, :1], hi_own=q1[:, -1:],
+                            lo_mirror=q0[:, :1], hi_mirror=q1[:, -1:],
+                            axis_name=py_axis)
+        rj[(0, b)] = jnp.concatenate([q0[:, :1], q0, hi], axis=1)
+        rj[(1, b)] = jnp.concatenate([lo, q1, q1[:, -1:]], axis=1)
+    e = {}
+    for a in (0, 1):
+        r0, r1 = rj[(a, 0)], rj[(a, 1)]
+        lo, hi = _edge_pair(lo_own=r0[:, :, :1], hi_own=r1[:, :, -1:],
+                            lo_mirror=r0[:, :, :1], hi_mirror=r1[:, :, -1:],
+                            axis_name=px_axis)
+        e[(a, 0)] = jnp.concatenate([r0[:, :, :1], r0, hi], axis=2)
+        e[(a, 1)] = jnp.concatenate([lo, r1, r1[:, :, -1:]], axis=2)
+    return e
+
+
 def axis_offsets(ny_l: int, nx_l: int, py_axis: str = "py",
                  px_axis: str = "px"):
     """Global interior origin (j0, i0) of this shard — feeds the global

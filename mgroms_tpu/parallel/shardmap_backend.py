@@ -79,13 +79,35 @@ class ShardMapBackend(DistributedBackend):
         self.ndevices = int(plan.mesh.devices.size)
 
     # -- smoothing ----------------------------------------------------------
+    def _use_compact_shard(self, lev) -> bool:
+        """Compact quad-parity smoothing on a SHARDED level: local tiles
+        must be even (so local parity == global parity) and, on TPU, the
+        local quad width must still fill the vector lanes."""
+        sh = self.plan.shards[lev]
+        spec = self.levels[lev]
+        if not (self.cfg.compact and spec.nd == 8
+                and self.cfg.relax_kind in ("RB", "FC")
+                and sh.ny % 2 == 0 and sh.nx % 2 == 0):
+            return False
+        if jax.devices()[0].platform == "cpu":
+            return True
+        return sh.nx // 2 >= 128 and sh.ny // 2 >= 8
+
     def relax(self, lev, p, b, nsweeps):
         sh = self.plan.shards[lev]
         if not sh.sharded:
             return super().relax(lev, p, b, nsweeps)
         cfg = self.cfg
+        use_compact = self._use_compact_shard(lev)
 
         def local(p_l, b_l, cA_l):
+            if use_compact:
+                from ..ops.relax_compact import relax_compact
+                from .exchange import extend_quads_shard
+                return relax_compact(
+                    p_l, b_l, cA_l, nsweeps, cfg.relax_kind,
+                    cfg.cmatrix == "real", tridiag_method=cfg.tridiag,
+                    extend_fn=extend_quads_shard)
             j0, i0 = axis_offsets(sh.ny, sh.nx)
             return relax_ops.relax(
                 p_l, b_l, cA_l, nsweeps, cfg.relax_kind,

@@ -42,7 +42,9 @@ def test_halo_extend_matches_global_extension():
     np.testing.assert_array_equal(got, want)
 
 
-def _solve(nx, ny, nz, mesh_shape=None, comm="gspmd", **cfg_kw):
+def _solve(nx, ny, nz, mesh_shape=None, comm="gspmd", cfg_extra=None,
+           **cfg_kw):
+    cfg_kw = dict(cfg_kw, **(cfg_extra or {}))
     m = NHModel(nx, ny, nz, cfg=SolverConfig(**cfg_kw))
     c = setup_seamount(nx, ny, nz)
     m.set_matrices(c.dx, c.dy, c.zeta, c.h, hc=c.hc,
@@ -88,3 +90,55 @@ def test_blocked_operator_storage_is_sharded():
     # sharded: each addressable shard holds 1/8 of the blocked array
     shard_shapes = {s.data.shape for s in cA.addressable_shards}
     assert shard_shapes == {(8, 8, 10, 10)}
+
+
+@needs8
+def test_shardmap_compact_matches_single():
+    """Compact quad-parity smoothing across shard seams (ppermute quad
+    exchange) reproduces the single-device compact solve."""
+    # local tiles 8x8 (even) on a 4x2 mesh: compact runs on the sharded
+    # level 0 (CPU gate accepts any even tile)
+    p1, i1 = _solve(32, 16, 8, cfg_extra=dict(compact=True))
+    p2, i2 = _solve(32, 16, 8, mesh_shape=(4, 2), comm="shard_map",
+                    cfg_extra=dict(compact=True))
+    assert i2.res <= 1e-8
+    np.testing.assert_allclose(p2, p1, rtol=1e-9,
+                               atol=1e-9 * np.abs(p1).max())
+    np.testing.assert_allclose(i1.history, i2.history, rtol=1e-4,
+                               atol=1e-15)
+
+
+@needs8
+def test_extend_quads_shard_one_color_update():
+    """One compact color update under shard_map (ppermute quad exchange)
+    equals the single-device compact color update — pins the distributed
+    quad extension including seam and corner values."""
+    from mgroms_tpu.ops.relax_compact import relax_compact
+    from mgroms_tpu.parallel.exchange import extend_quads_shard
+
+    nz, ny, nx = 5, 16, 32
+    m = NHModel(nx, ny, nz, cfg=SolverConfig(compact=True))
+    c = setup_seamount(nx, ny, nz)
+    m.set_matrices(c.dx, c.dy, c.zeta, c.h, hc=c.hc,
+                   theta_b=c.theta_b, theta_s=c.theta_s)
+    m.distribute(4, 2, comm="shard_map")
+    cA_blocked = m.backend.ops[0].cA
+    cA_full = m.ops[0].cA
+    rng = np.random.default_rng(5)
+    p = jnp.asarray(rng.standard_normal((nz, ny, nx)))
+    b = jnp.asarray(rng.standard_normal((nz, ny, nx)))
+    want = np.asarray(relax_compact(p, b, cA_full, 1, "RB", True))
+
+    mesh = m.backend.plan.mesh
+
+    def local(p_l, b_l, cA_l):
+        return relax_compact(p_l, b_l, cA_l, 1, "RB", True,
+                             extend_fn=extend_quads_shard)
+
+    f = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "py", "px"), P(None, "py", "px"),
+                  P(None, None, "py", "px")),
+        out_specs=P(None, "py", "px")))
+    got = np.asarray(f(p, b, cA_blocked))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
