@@ -12,7 +12,13 @@ per-F-cycle time and scaling efficiency vs the smallest mesh.
 """
 
 import argparse
+import os
+import sys
 import time
+
+# runnable as `python examples/scaling.py` (script dir shadows the repo
+# root on sys.path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

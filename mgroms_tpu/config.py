@@ -79,11 +79,11 @@ class SolverConfig:
     # operand byte crosses HBM once — the XLA lowering leaves ~6-12x of
     # HBM bandwidth on the table at CUC scale (see CLAUDE.md numbers)
     pallas_tiled: bool = True
-    # tiled Pallas fused color-update smoother: measured parity with the
-    # XLA compact path at CUC scale (62 vs 61 ms/sweep — single-buffered
-    # window DMA serializes against compute), so off by default;
-    # kept for the double-buffered/overlapped iteration
-    pallas_tiled_relax: bool = False
+    # tiled Pallas fused color-update smoother: with the band pack
+    # double-buffered (DMA overlaps the gather+Thomas compute) it runs
+    # 47.3 ms/sweep vs 61.1 for the XLA compact path at CUC level 0,
+    # bitwise-identical iterates
+    pallas_tiled_relax: bool = True
     # coarsest-level treatment: 'relax' (ns_coarsest smoothing sweeps,
     # reference behaviour, mg_solvers.f90:117/144) or 'direct' (multiply by
     # a precomputed dense inverse — one MXU matmul instead of ~2*ns_coarsest

@@ -160,11 +160,14 @@ def color_update_tiled(pe_q: jnp.ndarray, bq_t: jnp.ndarray,
                          pipeline_mode=pl.Buffered(1)),
             pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            # the pack is the bulk of the traffic: double-buffer it so its
+            # DMA overlaps the gather+Thomas compute (pe stays single —
+            # 36 double-buffered windows would blow the 128 MB VMEM)
             pl.BlockSpec((pl.Element(16), pl.Element(nz), pl.Element(wpad),
                           pl.Element(We)),
                          lambda i: (0, 0, i * tj, 0),
                          memory_space=pltpu.VMEM,
-                         pipeline_mode=pl.Buffered(1)),
+                         pipeline_mode=pl.Buffered(2)),
         ],
         out_specs=pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
