@@ -49,8 +49,13 @@ class SolverConfig:
     # 8:1 vertical coarsening at level 2 (mg_namelist.f90:31)
     aggressive: bool = False
 
-    # diagnostics field dumps (mg_namelist.f90:33)
+    # diagnostics field dumps (mg_namelist.f90:33).  When True, assembly /
+    # RHS / solve dump stage fields via io.diagnostics.write_field exactly
+    # where the reference writes netCDF (nhydro.f90:85-95,130-132,
+    # mg_define_matrix.f90:187-194,668-673, mg_solvers.f90:74-77)
     netcdf_output: bool = False
+    # directory for the diagnostics dumps (reference writes in cwd)
+    output_dir: str = "."
 
     # boundary land/sea mask folded into matrix coefficients
     # (mg_namelist.f90:35)

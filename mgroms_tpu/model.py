@@ -70,6 +70,25 @@ class NHModel:
         self.ops = ops
         self.metrics = metrics
         self.backend = SingleDeviceBackend(self.levels, ops, self.cfg)
+        if self.cfg.netcdf_output:
+            # stage dumps: metrics + per-level operator (the reference
+            # writes these inside define_matrices when netcdf_output —
+            # mg_define_matrix.f90:187-194 and :668-673; iter = 1-based lev)
+            self._dump(metrics.dx, "dx", "dx.nc", 1)
+            self._dump(metrics.dy, "dy", "dy.nc", 1)
+            self._dump(metrics.zr, "zr", "zr.nc", 1)
+            self._dump(metrics.zw, "zw", "zw.nc", 1)
+            for lev, op in enumerate(ops):
+                self._dump(op.cA, "ca", "cA.nc", lev + 1)
+
+    def _dump(self, arr, vname: str, fname: str, iteration=None) -> None:
+        """Diagnostics field dump (gated by ``cfg.netcdf_output``)."""
+        if not self.cfg.netcdf_output:
+            return
+        import os
+        from .io.diagnostics import write_field
+        write_field(arr, vname, os.path.join(self.cfg.output_dir, fname),
+                    rank=0, iteration=iteration)
 
     def distribute(self, npx: int, npy: int, devices=None,
                    comm: str = "gspmd") -> None:
@@ -104,17 +123,31 @@ class NHModel:
     def offload_metrics(self) -> None:
         """Move the fine-level metric fields (rhs/projection inputs; ~2 GB
         at CUC scale) to host memory, freeing HBM for the solve.  They are
-        re-transferred automatically when rhs()/project() next runs."""
+        re-transferred automatically when rhs()/project() next runs
+        (see :meth:`_metrics_live`)."""
         cpu = jax.devices("cpu")[0]
         self.metrics = jax.device_put(self.metrics, cpu)
+        self._metrics_offloaded = True
+
+    def _metrics_live(self) -> FineMetrics:
+        """Metrics on the compute device (un-offloads if needed: a
+        CPU-committed operand against TPU-committed velocities/pressure
+        would raise 'incompatible devices')."""
+        assert self.metrics is not None, "call set_matrices first"
+        if getattr(self, "_metrics_offloaded", False):
+            dev = jax.devices()[0]
+            if dev.platform != "cpu":
+                self.metrics = jax.device_put(self.metrics, dev)
+            self._metrics_offloaded = False
+        return self.metrics
 
     # -- pieces (also exposed for tests/benchmarks) ------------------------
     def rhs(self, u, v, w) -> jnp.ndarray:
-        assert self.metrics is not None, "call set_matrices first"
+        mt = self._metrics_live()
         if not hasattr(self, "_rhs_jit"):
             self._rhs_jit = jax.jit(
                 lambda mt, u, v, w: compute_rhs(mt, u, v, w, self.cfg.bmask))
-        return self._rhs_jit(self.metrics, u, v, w)
+        return self._rhs_jit(mt, u, v, w)
 
     def pressure_solve(self, b, tol=None, maxiter=None, verbose=False
                        ) -> Tuple[jnp.ndarray, SolveInfo]:
@@ -122,10 +155,11 @@ class NHModel:
                        verbose=verbose)
 
     def project(self, p, u, v, w):
+        mt = self._metrics_live()
         if not hasattr(self, "_proj_jit"):
             self._proj_jit = jax.jit(
                 lambda mt, p, u, v, w: correct_uvw(mt, extend_h1(p), u, v, w))
-        return self._proj_jit(self.metrics, p, u, v, w)
+        return self._proj_jit(mt, p, u, v, w)
 
     # -- the reference's three-step solve (nhydro.f90:80-98) ---------------
     def solve(self, u, v, w, tol=None, maxiter=None, verbose=False):
@@ -135,6 +169,8 @@ class NHModel:
         v = jnp.asarray(v, dtype=self.dtype)
         w = jnp.asarray(w, dtype=self.dtype)
         b = self.rhs(u, v, w)
+        self._dump(b, "b", "b.nc", 1)              # nhydro.f90:85-87
+        # (p_end/r_end are dumped by solve_p itself, nhydro.f90:92-95)
         p, info = self.pressure_solve(b, tol=tol, maxiter=maxiter,
                                       verbose=verbose)
         u, v, w = self.project(p, u, v, w)
@@ -144,8 +180,13 @@ class NHModel:
         """Recompute the divergence of corrected velocities; should be at
         machine zero (nhydro_check_nondivergence, nhydro.f90:105-134).
         Returns max |div|."""
+        mt = self._metrics_live()
+        if self.cfg.netcdf_output:                 # nhydro.f90:130-132
+            div = self.rhs(u, v, w)
+            self._dump(div, "b", "check.nc", 1)
+            return jnp.max(jnp.abs(div))
         if not hasattr(self, "_check_jit"):
             self._check_jit = jax.jit(
                 lambda mt, u, v, w: jnp.max(jnp.abs(
                     compute_rhs(mt, u, v, w, self.cfg.bmask))))
-        return self._check_jit(self.metrics, u, v, w)
+        return self._check_jit(mt, u, v, w)

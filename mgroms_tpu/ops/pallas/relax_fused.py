@@ -8,15 +8,18 @@ bandwidth.
 
 This kernel keeps the ENTIRE level resident in VMEM for the whole relax
 call: one read of (p, b, cA), then nsweeps x ncolors in-register color
-updates (halo extension, 13-band neighbour gather, exact z-line solve by
-parallel cyclic reduction, masked commit), one write of p.  HBM traffic
-drops by ~2*nsweeps.
+updates (halo extension, 13-band neighbour gather, exact z-line Thomas
+solve, masked commit), one write of p.  HBM traffic drops by ~2*nsweeps.
+(The z-line solve is the unrolled Thomas — bitwise the jnp path's
+recurrence.  An earlier PCR variant measured 2x slower at CUC scale AND
+degraded the f32 residual floor to ~5e-3; PCR's divisions amplify
+roundoff.  Thomas everywhere.)
 
 Physical-boundary semantics are identical to the jnp path: the in-kernel
 extension is the same edge-copy mirror, so this kernel is valid whenever
 the block IS the whole (sub)domain — single-chip levels, or the replicated
-coarse levels of a distributed run.  The neighbour-gather and PCR code is
-*shared* with the jnp path (ops/stencil.py, ops/relax.py): pure
+coarse levels of a distributed run.  The neighbour-gather and Thomas code
+is *shared* with the jnp path (ops/stencil.py, ops/relax.py): pure
 shifted-slice jnp traces the same way inside a Pallas kernel.
 
 VMEM budget: roughly 12 copies of one level field; `fits_vmem` gates usage
@@ -33,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..relax import tridiag_pcr
+from ..relax import thomas_unrolled
 from ..stencil import offdiag_columns
 
 # conservative per-core VMEM budget (bytes) for the resident working set
@@ -83,7 +86,7 @@ def _kernel(p_ref, b_ref, cA_ref, out_ref, *, nsweeps: int, kind: str,
         mask = color_mask(i % ncolor)
         pe = _extend_edge(p)
         rhs = b - offdiag_columns(pe, cA, real_matrix)
-        sol = tridiag_pcr(d, ud, rhs)
+        sol = thomas_unrolled(d, ud, rhs)
         return p + mask * (sol - p)
 
     # fori_loop (not unrolled) so each step's temporaries share one VMEM

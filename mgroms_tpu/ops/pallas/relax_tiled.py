@@ -30,33 +30,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..relax import thomas_unrolled as _thomas_unrolled
 from ..relax_compact import (_RB_TARGETS, _FC_TARGETS, _offdiag_quad,
                              extend_quads, merge_quads, quad_ext_bands,
                              split_quads)
 
 VMEM_LIMIT = 128 * 1024 * 1024
-_PICK_BUDGET = 64 * 1024 * 1024
-
-
-def _thomas_unrolled(d: jnp.ndarray, ud: jnp.ndarray, b: jnp.ndarray
-                     ) -> jnp.ndarray:
-    """Thomas solve, statically unrolled over z (nz is small and static;
-    lax.scan does not lower well in Mosaic).  Same op order as
-    ops/relax.tridiag -> bitwise-equal iterates."""
-    nz = d.shape[0]
-    if nz == 1:
-        return b / d
-    bet = 1.0 / d[0]
-    x = [b[0] * bet]
-    gam = []
-    for k in range(1, nz):
-        g = ud[k - 1] * bet
-        gam.append(g)
-        bet = 1.0 / (d[k] - ud[k - 1] * g)
-        x.append((b[k] - ud[k - 1] * x[k - 1]) * bet)
-    for k in range(nz - 2, -1, -1):
-        x[k] = x[k] - gam[k] * x[k + 1]
-    return jnp.stack(x, axis=0)
+# real VMEM pressure: 4 pe windows (single-buffered) + 16 pack windows
+# DOUBLE-buffered (pl.Buffered(2) below = 32 window-equivalents) + ~8
+# window-sized temps = ~44 windows.  The budget keeps the measured CUC
+# tiling (tj=8 at 1024^2x64 f32 -> 92.6 MB) inside the 128 MB hardware VMEM.
+_PICK_BUDGET = 100 * 1024 * 1024
 
 
 def _band_pairs(a: int, b: int, ):
@@ -108,11 +92,11 @@ def _kernel(pe_ref, bq_ref, pack_ref, out_ref, *, target, real_matrix, tj):
 
 
 def _pick_tj(H: int, nz: int, We: int, itemsize: int):
-    """Row tile (multiple of 8 for the b/out blocks): 20 windows (4 pe +
-    16 packed bands) + ~8 window-sized temps against the picker budget."""
+    """Row tile (multiple of 8 for the b/out blocks): 4 pe windows +
+    16 pack windows x2 (double-buffered) + ~8 window-sized temps."""
     for cand in (16, 8):
         wpad = _roundup8(cand + 2)
-        if (H % cand == 0 and (28 * nz * wpad * We
+        if (H % cand == 0 and (44 * nz * wpad * We
                 + 4 * nz * cand * (We - 2)) * itemsize <= _PICK_BUDGET):
             return cand
     return None

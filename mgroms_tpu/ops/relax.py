@@ -70,6 +70,93 @@ def tridiag_pcr(d: jnp.ndarray, dd: jnp.ndarray, b: jnp.ndarray
     return rhs / diag
 
 
+def thomas_unrolled(d: jnp.ndarray, ud: jnp.ndarray, b: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Thomas solve, statically unrolled over z (nz is small and static;
+    lax.scan does not lower well in Mosaic — this is the Pallas-kernel
+    form).  Same op order as :func:`tridiag` -> bitwise-equal iterates."""
+    nz = d.shape[0]
+    if nz == 1:
+        return b / d
+    bet = 1.0 / d[0]
+    x = [b[0] * bet]
+    gam = []
+    for k in range(1, nz):
+        g = ud[k - 1] * bet
+        gam.append(g)
+        bet = 1.0 / (d[k] - ud[k - 1] * g)
+        x.append((b[k] - ud[k - 1] * x[k - 1]) * bet)
+    for k in range(nz - 2, -1, -1):
+        x[k] = x[k] - gam[k] * x[k + 1]
+    return jnp.stack(x, axis=0)
+
+
+def thomas_factor(d: jnp.ndarray, ud: jnp.ndarray):
+    """Precompute the Thomas pivots: ``bet`` (the reciprocal pivots, nz)
+    and ``gam`` (the back-substitution multipliers, nz-1).
+
+    These depend only on the operator's in-column tridiagonal (d, ud) —
+    constant across sweeps and cycles — so the smoother's hot path never
+    divides: :func:`tridiag_factored` is pure multiply-add.  The recurrence
+    is the exact op order of :func:`tridiag` (mg_relax.f90:308-334), so
+    factored solves are bitwise-equal to the reference Thomas.
+    """
+    nz = d.shape[0]
+    bet0 = 1.0 / d[0]
+    if nz == 1:
+        return bet0[None], jnp.zeros_like(d[:0])
+
+    def fwd(bet, inp):
+        dk, ddm = inp
+        gam = ddm * bet
+        bet = 1.0 / (dk - ddm * gam)
+        return bet, (gam, bet)
+
+    _, (gams, bets) = jax.lax.scan(fwd, bet0, (d[1:], ud))
+    return jnp.concatenate([bet0[None], bets], axis=0), gams
+
+
+def tridiag_factored(bet: jnp.ndarray, gam: jnp.ndarray, ud: jnp.ndarray,
+                     b: jnp.ndarray) -> jnp.ndarray:
+    """Thomas substitution with precomputed pivots (:func:`thomas_factor`):
+    forward x_k = (b_k - ud_{k-1} x_{k-1}) * bet_k, backward
+    x_k -= gam_k x_{k+1}.  No divisions; bitwise-equal to :func:`tridiag`."""
+    nz = b.shape[0]
+    if nz == 1:
+        return b * bet
+    x0 = b[0] * bet[0]
+
+    def fwd(xprev, inp):
+        betk, ddm, bk = inp
+        xk = (bk - ddm * xprev) * betk
+        return xk, xk
+
+    _, xs = jax.lax.scan(fwd, x0, (bet[1:], ud, b[1:]))
+    x = jnp.concatenate([x0[None], xs], axis=0)
+
+    def bwd(xnext, inp):
+        gamk1, xk = inp
+        xk = xk - gamk1 * xnext
+        return xk, xk
+
+    _, head = jax.lax.scan(bwd, x[-1], (gam, x[:-1]), reverse=True)
+    return jnp.concatenate([head, x[-1:]], axis=0)
+
+
+def thomas_factored_unrolled(bet: jnp.ndarray, gam: jnp.ndarray,
+                             ud: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled form of :func:`tridiag_factored` for Pallas kernels."""
+    nz = b.shape[0]
+    if nz == 1:
+        return b * bet
+    x = [b[0] * bet[0]]
+    for k in range(1, nz):
+        x.append((b[k] - ud[k - 1] * x[k - 1]) * bet[k])
+    for k in range(nz - 2, -1, -1):
+        x[k] = x[k] - gam[k] * x[k + 1]
+    return jnp.stack(x, axis=0)
+
+
 def tridiag(d: jnp.ndarray, dd: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Thomas solve of symmetric tridiagonal systems, batched over (ny, nx).
 
@@ -175,43 +262,8 @@ def relax(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
     return jax.lax.fori_loop(0, nsteps, body, p)
 
 
-def relax_2d(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
-             nsweeps: int, extend_fn: ExtendFn,
-             j0: int = 0, i0: int = 0, red_black: bool = True) -> jnp.ndarray:
-    """2-D 5-point point relaxation for nz==1 levels (``relax_2D_5``,
-    mg_relax.f90:50-113).  Band meaning differs from 3-D:
-    cA2 <-> j+-1, cA3 <-> i+-1, cA4 <-> (j-1,i-1)/(j+1,i+1),
-    cA5 <-> (j+1,i-1)/(j-1,i+1).
-
-    Unreachable with the standard level plan (the coarsest level keeps
-    nz >= 2, mg_grids.f90:485); provided for parity.  Deviation: the
-    reference refreshes halos once per sweep (:108); we refresh per color.
-    """
-    ny, nx = p.shape[-2:]
-    dt = p.dtype
-
-    def update(p, mask):
-        pe = extend_fn(p)
-
-        def sh(n, dj, di):
-            return band(cA, n, dj=dj, di=di)
-
-        def ps(dj, di):
-            J, I = pe.shape[-2:]
-            return pe[..., 1 + dj: J - 1 + dj, 1 + di: I - 1 + di]
-
-        z = (b
-             - sh(2, 0, 0) * ps(-1, 0) - band(cA, 2, dj=1) * ps(1, 0)
-             - sh(3, 0, 0) * ps(0, -1) - band(cA, 3, di=1) * ps(0, 1)
-             - sh(4, 0, 0) * ps(-1, -1) - band(cA, 4, dj=1, di=1) * ps(1, 1)
-             - sh(5, 0, 0) * ps(1, -1) - band(cA, 5, dj=-1, di=1) * ps(-1, 1))
-        sol = z / band(cA, 1)
-        return p + mask * (sol - p)
-
-    for _ in range(nsweeps):
-        if red_black:
-            for c in (0, 1):
-                p = update(p, _parity_mask(ny, nx, c, j0, i0, dt))
-        else:
-            p = update(p, jnp.ones((ny, nx), dtype=dt))
-    return p
+# NOTE: no 2-D (nz==1) relaxation exists here by design.  The reference's
+# relax_2D_5 (mg_relax.f90:50-113) is dead code: define_matrix has no 2-D
+# assembly branch to feed it (mg_define_matrix.f90), and the level plan
+# keeps nz >= 2 on the coarsest level (mg_grids.f90:485).  The solver
+# raises explicitly if an nd==5 level is ever reached (solver.py).

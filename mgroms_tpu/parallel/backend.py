@@ -56,18 +56,19 @@ def shard_operators(ops: List[LevelOperator], plan: MeshPlan
 
 class DistributedBackend(SingleDeviceBackend):
     def __init__(self, levels: List[LevelSpec], ops: List[LevelOperator],
-                 cfg: SolverConfig, plan: MeshPlan):
-        super().__init__(levels, ops, cfg)
+                 cfg: SolverConfig, plan: MeshPlan, platform=None):
+        super().__init__(levels, ops, cfg, platform=platform)
         self.plan = plan
         self.ndevices = int(plan.mesh.devices.size)
 
     def tree_flatten(self):
-        return (self.ops,), (self.levels, self.cfg, self.plan)
+        return (self.ops,), (self.levels, self.cfg, self.plan, self.platform)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        levels, cfg, plan = aux
-        return cls(list(levels), list(children[0]), cfg, plan)
+        levels, cfg, plan, platform = aux
+        return cls(list(levels), list(children[0]), cfg, plan,
+                   platform=platform)
 
     def _use_compact(self, lev):
         # quad-parity reshape of a py/px-sharded array would force GSPMD

@@ -71,10 +71,11 @@ class ShardMapBackend(DistributedBackend):
     """Same cycle math, explicit communication."""
 
     def __init__(self, levels: List[LevelSpec], ops: List[LevelOperator],
-                 cfg: SolverConfig, plan: MeshPlan):
+                 cfg: SolverConfig, plan: MeshPlan, platform=None):
         # skip DistributedBackend.__init__'s assumptions: ops here may
         # already be blocked
-        super(DistributedBackend, self).__init__(levels, ops, cfg)
+        super(DistributedBackend, self).__init__(levels, ops, cfg,
+                                                 platform=platform)
         self.plan = plan
         self.ndevices = int(plan.mesh.devices.size)
 
@@ -89,7 +90,7 @@ class ShardMapBackend(DistributedBackend):
                 and self.cfg.relax_kind in ("RB", "FC")
                 and sh.ny % 2 == 0 and sh.nx % 2 == 0):
             return False
-        if jax.devices()[0].platform == "cpu":
+        if self.platform == "cpu":
             return True
         return sh.nx // 2 >= 128 and sh.ny // 2 >= 8
 

@@ -55,9 +55,13 @@ def build_pair(nx: int, ny: int, nz: int, case, cfg32: Optional[SolverConfig]
                      theta_b=case.theta_b, theta_s=case.theta_s)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
+        # belt-and-braces: the CPU-hosted reference model must never select
+        # TPU Pallas kernels (the backend's platform gate is the primary
+        # guard; see solver._arrays_platform)
         cfg64 = SolverConfig(
             dtype="float64", compact=cfg32.compact, cmatrix=cfg32.cmatrix,
-            bmask=cfg32.bmask, aggressive=cfg32.aggressive)
+            bmask=cfg32.bmask, aggressive=cfg32.aggressive,
+            use_pallas=False, pallas_tiled=False)
         m64 = NHModel(nx, ny, nz, cfg=cfg64)
         m64.set_matrices(
             jax.device_put(jnp.asarray(case.dx, jnp.float64), cpu),

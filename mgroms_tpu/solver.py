@@ -35,6 +35,15 @@ from .ops import relax as relax_ops
 from .ops import stencil, transfer
 
 
+def _arrays_platform(ops) -> str:
+    """Platform of the operator arrays (where the solve will run)."""
+    try:
+        return next(iter(ops[0].cA.devices())).platform
+    except Exception:
+        # tracers / unusual containers: fall back to the default device
+        return jax.devices()[0].platform
+
+
 class SingleDeviceBackend:
     """All per-level ops on one device (physical BCs on every edge).
 
@@ -46,19 +55,25 @@ class SingleDeviceBackend:
     """
 
     def __init__(self, levels: List[LevelSpec], ops: List[LevelOperator],
-                 cfg: SolverConfig):
+                 cfg: SolverConfig, platform: Optional[str] = None):
         self.levels = tuple(levels)
         self.ops = list(ops)
         self.cfg = cfg
         self.nlevs = len(levels)
+        # the platform the OPERATOR ARRAYS live on (not jax.devices()[0]):
+        # a CPU-hosted f64 model in a TPU-attached session (refine.py) must
+        # gate off the TPU-only Pallas paths.  Captured once at construction
+        # (arrays are concrete there) and carried through tree_flatten so
+        # traced re-constructions keep it.
+        self.platform = platform or _arrays_platform(ops)
 
     def tree_flatten(self):
-        return (self.ops,), (self.levels, self.cfg)
+        return (self.ops,), (self.levels, self.cfg, self.platform)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        levels, cfg = aux
-        return cls(list(levels), list(children[0]), cfg)
+        levels, cfg, platform = aux
+        return cls(list(levels), list(children[0]), cfg, platform=platform)
 
     # -- halos -------------------------------------------------------------
     def extend(self, lev: int, x: jnp.ndarray) -> jnp.ndarray:
@@ -80,7 +95,7 @@ class SingleDeviceBackend:
                 and self.cfg.relax_kind in ("RB", "FC")
                 and spec.nyg % 2 == 0 and spec.nxg % 2 == 0):
             return False
-        if jax.devices()[0].platform == "cpu":
+        if self.platform == "cpu":
             return True
         # TPU: the quad tile (ny/2, nx/2) must still fill the (8, 128)
         # vector registers — below that, lane padding wastes more than the
@@ -98,12 +113,16 @@ class SingleDeviceBackend:
             return (self.ops[lev].Ainv @ b.reshape(n)).reshape(
                 spec.nzg, spec.nyg, spec.nxg)
         if spec.nd == 5:
-            return relax_ops.relax_2d(
-                p, b, self.ops[lev].cA, nsweeps,
-                extend_fn=lambda x: self.extend(lev, x))
+            # Dead-on-arrival in the reference too: define_matrix has no
+            # 2-D assembly branch (mg_define_matrix.f90) and the level plan
+            # keeps nz >= 2 (mg_grids.f90:485).  An 8-band cA fed to a
+            # 5-band smoother would be silently misinterpreted — refuse.
+            raise NotImplementedError(
+                "2-D (nz==1) levels are unreachable under the standard plan "
+                "and have no assembly path (parity with the reference)")
         if self._use_pallas(lev):
             from .ops.pallas import fused_relax
-            interpret = jax.devices()[0].platform == "cpu"
+            interpret = self.platform == "cpu"
             return fused_relax(p, b, self.ops[lev].cA, nsweeps,
                                self.cfg.relax_kind,
                                self.cfg.cmatrix == "real",
@@ -131,7 +150,7 @@ class SingleDeviceBackend:
         tiling supports.  The distributed backend vetoes sharded levels."""
         spec = self.levels[lev]
         if not (self.cfg.pallas_tiled and spec.nd == 8
-                and jax.devices()[0].platform != "cpu"):
+                and self.platform != "cpu"):
             return False
         item = jnp.dtype(self.cfg.dtype).itemsize
         if kind == "relax":
@@ -349,8 +368,22 @@ def solve_p(backend, b: jnp.ndarray, cfg: Optional[SolverConfig] = None,
         history.append(rnorm)
         if verbose:
             print(f"ite = {nite:2d}: res = {rnorm:10.3e} / conv = {conv:10.3f}")
+        if cfg.netcdf_output:
+            # per-iteration p/r dumps (mg_solvers.f90:74-77)
+            import os
+            from .io.diagnostics import write_field
+            write_field(p, "p", os.path.join(cfg.output_dir, "p.nc"),
+                        rank=0, iteration=nite)
+            write_field(r, "r", os.path.join(cfg.output_dir, "r.nc"),
+                        rank=0, iteration=nite)
     jax.block_until_ready(p)
     dt = time.perf_counter() - t0
+    if cfg.netcdf_output:
+        # end-of-solve dumps (nhydro.f90:92-95)
+        import os
+        from .io.diagnostics import write_field
+        write_field(p, "p", os.path.join(cfg.output_dir, "p_end.nc"), rank=0)
+        write_field(r, "r", os.path.join(cfg.output_dir, "r_end.nc"), rank=0)
 
     # rescaled performance (mg_solvers.f90:84-97): core-seconds per DOF per
     # decade of residual reduction

@@ -30,7 +30,11 @@ def main():
     ap.add_argument("--nz", type=int, default=64)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--no-compact", action="store_true")
-    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--fused-experimental", action="store_true",
+                    dest="pallas",
+                    help="whole-level VMEM-resident fused relax kernel "
+                         "(measured parity with XLA at 64^3, not a win; "
+                         "takes precedence over the compact/tiled paths)")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--coarsest", default="direct")
     ap.add_argument("--tridiag", default="thomas", choices=["thomas", "pcr"])
@@ -109,11 +113,17 @@ def run_refine(args):
     from mgroms_tpu import SolverConfig
     from mgroms_tpu.refine import (build_pair, refined_pressure_solve,
                                    require_x64)
-    from mgroms_tpu.cases.seamount import initial_velocities, setup_seamount
+    from mgroms_tpu.cases.seamount import initial_velocities
     import jax.numpy as jnp
 
     require_x64()        # before any f64 array is created
-    case = setup_seamount(args.nx, args.ny, args.nz, dtype=jnp.float64)
+    if args.case == "seamount":
+        from mgroms_tpu.cases.seamount import setup_seamount as setup
+    elif args.case == "rndtopo":
+        from mgroms_tpu.cases.rndtopo import setup_rndtopo as setup
+    else:
+        from mgroms_tpu.cases.cuc import setup_cuc_synthetic as setup
+    case = setup(args.nx, args.ny, args.nz, dtype=jnp.float64)
     cfg32 = SolverConfig(dtype="float32", compact=not args.no_compact,
                          coarsest=args.coarsest)
     m32, m64 = build_pair(args.nx, args.ny, args.nz, case, cfg32)

@@ -95,6 +95,37 @@ def test_cuc_file_roundtrip(tmp_path):
     assert case.hc == 250.0
 
 
+def test_netcdf_output_stage_dumps(tmp_path):
+    """cfg.netcdf_output=True produces the reference's stage dumps
+    (nhydro.f90:85-95,130-132; mg_define_matrix.f90:187-194,668-673;
+    mg_solvers.f90:74-77)."""
+    from mgroms_tpu.io.diagnostics import read_field
+    m = _model(8, 8, 8, netcdf_output=True, output_dir=str(tmp_path))
+    # assembly-stage dumps: metrics + one cA per level
+    for stem in ("dx", "dy", "zr", "zw"):
+        assert (tmp_path / f"{stem}_{stem}_0000_0001.nc").exists()
+    nlevs = len(m.levels)
+    for lev in range(1, nlevs + 1):
+        assert (tmp_path / f"cA_ca_0000_{lev:04d}.nc").exists()
+    u, v, w = initial_velocities(8, 8, 8)
+    uc, vc, wc, p, info = m.solve(u, v, w, tol=1e-8, maxiter=10)
+    assert (tmp_path / "b_b_0000_0001.nc").exists()       # RHS dump
+    assert (tmp_path / "p_end_p_0000.nc").exists()        # end-of-solve
+    assert (tmp_path / "r_end_r_0000.nc").exists()
+    assert (tmp_path / "p_p_0000_0001.nc").exists()       # per-iteration
+    div = m.check_nondivergence(uc, vc, wc)               # check.nc dump
+    assert (tmp_path / "check_b_0000_0001.nc").exists()
+    # dumped pressure round-trips and matches the returned solution
+    pd = read_field(str(tmp_path / "p_end_p_0000.nc"), "p")
+    np.testing.assert_allclose(pd, np.asarray(p))
+    # interior nondivergence is machine zero; the boundary ring keeps the
+    # documented O(1%) BC-in-halo remnant (see test_solver.py notes)
+    divf = np.abs(read_field(str(tmp_path / "check_b_0000_0001.nc"), "b"))
+    b0 = float(jnp.max(jnp.abs(m.rhs(u, v, w))))
+    assert divf[:, 2:-2, 2:-2].max() < 1e-7 * b0
+    assert float(div) < 5e-2 * b0
+
+
 def test_driver_smoke(tmp_path, capsys):
     """The seamount driver runs end-to-end (reference testseamount
     program)."""

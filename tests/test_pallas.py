@@ -31,11 +31,10 @@ def test_fused_relax_matches_jnp(kind):
     m, b = _setup()
     cA = m.ops[0].cA
     p0 = jnp.zeros_like(b)
-    ref = relax_ops.relax(p0, b, cA, 2, kind, True,
-                          extend_fn=extend_h1, tridiag_method="pcr")
+    ref = relax_ops.relax(p0, b, cA, 2, kind, True, extend_fn=extend_h1)
     out = fused_relax(p0, b, cA, 2, kind, True, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5 * np.abs(ref).max())
+                               rtol=2e-6, atol=2e-6 * np.abs(ref).max())
 
 
 def test_fused_relax_in_solver():
