@@ -25,7 +25,8 @@ from .config import SolverConfig
 from .levels import build_level_plan, describe
 from .ops.projection import correct_uvw
 from .ops.rhs import compute_rhs
-from .solver import SingleDeviceBackend, SolveInfo, solve_p
+from .solver import (SingleDeviceBackend, SolveInfo, build_relax_packs,
+                     compact_eligible, solve_p)
 
 
 class NHModel:
@@ -70,6 +71,16 @@ class NHModel:
         self.ops = ops
         self.metrics = metrics
         self.backend = SingleDeviceBackend(self.levels, ops, self.cfg)
+        # persist the compact-smoother gather packs (pre-sliced aligned
+        # blocks + factored Thomas pivots) for the levels that will smooth
+        # in quad-parity form — one jitted pass, reused by every sweep
+        elig = [compact_eligible(s, self.cfg, self.backend.platform)
+                for s in self.levels]
+        if any(elig):
+            packs = jax.jit(lambda o: build_relax_packs(
+                self.levels, o, self.cfg, self.backend.platform, elig))(ops)
+            self.backend.packs = list(packs)
+        self._packs = self.backend.packs
         if self.cfg.netcdf_output:
             # stage dumps: metrics + per-level operator (the reference
             # writes these inside define_matrices when netcdf_output —
@@ -103,22 +114,39 @@ class NHModel:
           - 'shard_map': explicit two-phase ppermute halo exchange with
             per-shard-extended operator storage (the reference's MPI
             protocol made TPU-native; parallel/shardmap_backend.py).
+
+        Distributes the FULL nhydro_solve: besides the pressure cycles,
+        rhs/project/check_nondivergence run on per-shard staggered velocity
+        tiles with per-shard wall-flux masks (parallel/physics.py — the
+        reference's distributed compute_rhs/correct_uvw contract).
         """
-        from .parallel import (DistributedBackend, MeshPlan, ShardMapBackend,
-                               make_mesh, shard_operators,
-                               shard_operators_blocked)
+        from .parallel import (DistributedBackend, DistributedPhysics,
+                               MeshPlan, ShardMapBackend, make_mesh,
+                               shard_operators, shard_operators_blocked)
         assert self.backend is not None, "call set_matrices first"
         mesh = make_mesh(npx, npy, devices)
         plan = MeshPlan.create(mesh, self.levels, nsmall=self.cfg.nsmall)
+        # replicated (agglomerated) levels keep their persisted compact
+        # packs, pinned replicated on the mesh; sharded levels smooth
+        # through the shard_map/GSPMD paths (per-shard pack build there)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        packs = [None if (pk is None or plan.shards[lev].sharded)
+                 else jax.device_put(pk, repl)
+                 for lev, pk in enumerate(getattr(self, "_packs",
+                                                  [None] * len(self.levels)))]
         if comm == "shard_map":
             ops = shard_operators_blocked(self.ops, plan)
-            self.backend = ShardMapBackend(self.levels, ops, self.cfg, plan)
+            self.backend = ShardMapBackend(self.levels, ops, self.cfg, plan,
+                                           packs=packs)
         elif comm == "gspmd":
             ops = shard_operators(self.ops, plan)
             self.backend = DistributedBackend(self.levels, ops, self.cfg,
-                                              plan)
+                                              plan, packs=packs)
         else:
             raise ValueError(f"unknown comm layer {comm!r}")
+        self._physics = DistributedPhysics(plan, self._metrics_live(),
+                                           self.cfg)
 
     def offload_metrics(self) -> None:
         """Move the fine-level metric fields (rhs/projection inputs; ~2 GB
@@ -143,6 +171,8 @@ class NHModel:
 
     # -- pieces (also exposed for tests/benchmarks) ------------------------
     def rhs(self, u, v, w) -> jnp.ndarray:
+        if getattr(self, "_physics", None) is not None:
+            return self._physics.rhs(u, v, w)
         mt = self._metrics_live()
         if not hasattr(self, "_rhs_jit"):
             self._rhs_jit = jax.jit(
@@ -155,6 +185,8 @@ class NHModel:
                        verbose=verbose)
 
     def project(self, p, u, v, w):
+        if getattr(self, "_physics", None) is not None:
+            return self._physics.project(p, u, v, w)
         mt = self._metrics_live()
         if not hasattr(self, "_proj_jit"):
             self._proj_jit = jax.jit(
@@ -180,6 +212,8 @@ class NHModel:
         """Recompute the divergence of corrected velocities; should be at
         machine zero (nhydro_check_nondivergence, nhydro.f90:105-134).
         Returns max |div|."""
+        if getattr(self, "_physics", None) is not None:
+            return self._physics.check_nondivergence(u, v, w)
         mt = self._metrics_live()
         if self.cfg.netcdf_output:                 # nhydro.f90:130-132
             div = self.rhs(u, v, w)

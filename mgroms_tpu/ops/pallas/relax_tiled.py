@@ -1,24 +1,26 @@
 """Tiled Pallas fused color update — the compact smoother's hot kernel.
 
 One red-black color update = (16-term neighbour gather -> tridiagonal RHS
--> exact Thomas solve) on the active color's columns.  The XLA lowering
-leaves ~6x on the table at CUC scale (61 ms per sweep vs a ~10 ms HBM
-roofline): the gather terms don't fuse into one pass, and the scan-based
-Thomas serializes 2*nz tiny kernels.  This kernel streams j-tiles of the
-quad-parity arrays through VMEM — every operand byte crosses HBM ~once per
-color update — and runs the gather + a fully unrolled in-register Thomas
-solve (bitwise the reference recurrence, mg_relax.f90:308-334) per tile.
+-> exact solve) on the active color's columns.  This kernel streams j-tiles
+of the quad-parity state and the PERSISTED gather-block operator
+(ops/relax_compact.CompactPack) through VMEM and evaluates the gather plus
+a fully unrolled division-free Thomas substitution per tile (bitwise the
+reference recurrence, mg_relax.f90:237-334, with pivots precomputed by
+ops/relax.thomas_factor).
 
-Layout: quad-extended arrays (see ops/relax_compact.py); target rows
-J in [j0, j0+TJ) read quad rows [j0, j0+TJ+2) — overlapping windows via
-``pl.Element`` block dims, rounded up to a multiple of 8 (Mosaic sublane
-alignment) with junk pad rows the kernel never reads.
+v2 design (vs the round-1 kernel):
+  - operator reads are ALIGNED blocks of the pre-sliced pack, not
+    overlapping ``pl.Element`` windows of the extended bands: no wpad junk
+    rows, ~2x less band DMA, and the per-call ``quad_ext_bands`` pass (a
+    multi-GB HBM transient at CUC scale) is gone entirely;
+  - the in-column solve is the factored substitution: no divisions, no
+    forward elimination — roughly half the Thomas VPU work;
+  - only the 4 extended STATE quads still use Element windows (their
+    values change per color; they are ~1/5 of the traffic).
 
-VMEM discipline: one kernel call updates ONE target quad, and its band
-input is a 16-entry pack of exactly the (band, quad) pairs that target's
-gather touches — 20 windows total fit the 128 MB VMEM where the full
-(8 bands x 4 quads) + both targets did not.  The gather math is
-relax_compact._offdiag_quad verbatim, traced on the packed VMEM windows.
+Layout: target rows J in [j0, j0+TJ) read state-quad rows [j0, j0+TJ+2)
+(windows rounded up to a multiple of 8 with junk pad rows the kernel never
+reads) and pack-block rows [j0, j0+TJ) exactly.
 """
 
 from __future__ import annotations
@@ -30,33 +32,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..relax import thomas_unrolled as _thomas_unrolled
-from ..relax_compact import (_RB_TARGETS, _FC_TARGETS, _offdiag_quad,
-                             extend_quads, merge_quads, quad_ext_bands,
+from ..relax import thomas_factored_unrolled
+from ..relax_compact import (_FC_TARGETS, _RB_TARGETS, _TKEYS, CompactPack,
+                             _kshift, build_compact_pack, extend_quads,
+                             gather_blocks, gather_keys, merge_quads,
                              split_quads)
 
 VMEM_LIMIT = 128 * 1024 * 1024
-# real VMEM pressure: 4 pe windows (single-buffered) + 16 pack windows
-# DOUBLE-buffered (pl.Buffered(2) below = 32 window-equivalents) + ~8
-# window-sized temps = ~44 windows.  The budget keeps the measured CUC
-# tiling (tj=8 at 1024^2x64 f32 -> 92.6 MB) inside the 128 MB hardware VMEM.
 _PICK_BUDGET = 100 * 1024 * 1024
-
-
-def _band_pairs(a: int, b: int, ):
-    """The 16 (band, quad) pairs the gather for target quad (a, b) reads
-    (the B() calls of relax_compact._offdiag_quad plus bands 1-2 for the
-    in-column tridiagonal)."""
-    oa, ob = 1 - a, 1 - b
-    return (
-        (1, (a, b)), (2, (a, b)),
-        (3, (a, b)), (3, (oa, b)),
-        (4, (a, b)), (4, (oa, b)),
-        (5, (a, b)), (5, (oa, b)), (5, (oa, ob)),
-        (6, (a, b)), (6, (a, ob)),
-        (7, (a, b)), (7, (a, ob)),
-        (8, (a, b)), (8, (a, ob)), (8, (oa, ob)),
-    )
 
 
 def _roundup8(n: int) -> int:
@@ -72,121 +55,230 @@ def _pad_rows(a: jnp.ndarray, extra: int, axis: int) -> jnp.ndarray:
     return jnp.concatenate([a, tail], axis=axis)
 
 
-def _kernel(pe_ref, bq_ref, pack_ref, out_ref, *, target, real_matrix, tj):
-    a, b = target
-    # windows carry WPAD rows (Mosaic sublane alignment); the stencil uses
-    # the true tj+2
-    e = {(qa_, qb_): pe_ref[2 * qa_ + qb_, :, : tj + 2, :]
-         for qa_ in (0, 1) for qb_ in (0, 1)}
-    qa = [dict() for _ in range(8)]
-    for m, (n, quad) in enumerate(_band_pairs(a, b)):
-        qa[n - 1][quad] = pack_ref[m, :, : tj + 2, :]
-    nz = pe_ref.shape[1]
-    dt = out_ref.dtype
-    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-          ).astype(dt) if real_matrix else None
-    rhs = bq_ref[:] - _offdiag_quad(e, qa, a, b, real_matrix, k0)
-    d = qa[0][(a, b)][:, 1:-1, 1:-1]
-    ud = qa[1][(a, b)][1:, 1:-1, 1:-1]
-    out_ref[:] = _thomas_unrolled(d, ud, rhs)
-
-
-def _pick_tj(H: int, nz: int, We: int, itemsize: int):
-    """Row tile (multiple of 8 for the b/out blocks): 4 pe windows +
-    16 pack windows x2 (double-buffered) + ~8 window-sized temps."""
+def _pick_tj(H: int, nz: int, W: int, nkeys: int, itemsize: int):
+    """Row tile (multiple of 8 for the aligned blocks).  VMEM: 4 state
+    windows (single-buffered) + (nkeys+4) aligned operator/rhs blocks
+    double-buffered + out + ~10 block-sized temps (gather accumulator,
+    unrolled-Thomas state)."""
+    We = W + 2
     for cand in (16, 8):
+        if H % cand:
+            continue
         wpad = _roundup8(cand + 2)
-        if (H % cand == 0 and (44 * nz * wpad * We
-                + 4 * nz * cand * (We - 2)) * itemsize <= _PICK_BUDGET):
+        win = nz * wpad * We
+        blk = nz * cand * W
+        need = (4 * win + 2 * (nkeys + 4) * blk + 12 * blk) * itemsize
+        if need <= _PICK_BUDGET:
             return cand
     return None
 
 
-def supports(nz: int, H: int, W: int, itemsize: int = 4) -> bool:
-    return _pick_tj(H, nz, W + 2, itemsize) is not None
+def supports(nz: int, H: int, W: int, itemsize: int = 4,
+             real_matrix: bool = True) -> bool:
+    nkeys = len(gather_keys(real_matrix))
+    return _pick_tj(H, nz, W, nkeys, itemsize) is not None
+
+
+def _kernel(*refs, target, real_matrix, tj, nkeys):
+    a, b = target
+    e = {key: refs[i][:, : tj + 2, :] for i, key in enumerate(_TKEYS)}
+    blocks = tuple(refs[4 + m][:] for m in range(nkeys))
+    ud_ref, bet_ref, gam_ref, bq_ref, out_ref = refs[4 + nkeys:]
+    nz = out_ref.shape[0]
+    dt = out_ref.dtype
+    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
+          ).astype(dt) if real_matrix else None
+    rhs = bq_ref[:] - gather_blocks(e, blocks, a, b, real_matrix, k0)
+    out_ref[:] = thomas_factored_unrolled(bet_ref[:], gam_ref[:],
+                                          ud_ref[:], rhs)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("target", "real_matrix", "interpret"))
-def color_update_tiled(pe_q: jnp.ndarray, bq_t: jnp.ndarray,
-                       pack: jnp.ndarray, target, real_matrix: bool,
+def color_update_tiled(e4: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
+                       ud_t, bet_t, gam_t, target, real_matrix: bool,
                        interpret: bool = False) -> jnp.ndarray:
-    """Update ONE target quad.  ``pe_q``: (4, nz, H+2, W+2) quad-extended
-    state (quad index q = 2a+b); ``bq_t``: (nz, H, W) the target's RHS
-    quad; ``pack``: (16, nz, H+2, W+2) quad-extended bands in
-    ``_band_pairs(target)`` order.  Returns the new quad (nz, H, W)."""
+    """Update ONE target quad.  ``e4``: the four quad-extended state arrays
+    (nz, H+2, W+2) in ``_TKEYS`` order; ``bq_t``: (nz, H, W) the target's
+    RHS quad; ``blocks_t``/``ud_t``/``bet_t``/``gam_t``: the target's
+    persisted pack fields.  Returns the new quad (nz, H, W)."""
     nz, H, W = bq_t.shape
-    We = W + 2
-    tj = _pick_tj(H, nz, We, jnp.dtype(bq_t.dtype).itemsize)
+    nkeys = len(blocks_t)
+    tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize)
     assert tj is not None, f"relax tiled kernel unsupported for H={H}"
     wpad = _roundup8(tj + 2)
     extra = (H - tj + wpad) - (H + 2)
-    pe_q = _pad_rows(pe_q, extra, 2)
-    pack = _pad_rows(pack, extra, 2)
+    e4 = tuple(_pad_rows(x, extra, 1) for x in e4)
+
+    def win_spec():
+        # windowed state input: all dims Element (Mosaic all-or-none rule),
+        # single-buffered (the aligned pack blocks below carry the bulk of
+        # the traffic and are double-buffered; windows would double VMEM)
+        return pl.BlockSpec((pl.Element(nz), pl.Element(wpad),
+                             pl.Element(W + 2)),
+                            lambda i: (0, i * tj, 0),
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(1))
+
+    def blk_spec(lead):
+        return pl.BlockSpec((lead, tj, W), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(2))
+
     kern = functools.partial(_kernel, target=target,
-                             real_matrix=real_matrix, tj=tj)
+                             real_matrix=real_matrix, tj=tj, nkeys=nkeys)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT)
+    in_specs = ([win_spec() for _ in range(4)]
+                + [blk_spec(nz) for _ in range(nkeys)]
+                + [blk_spec(nz - 1), blk_spec(nz), blk_spec(nz - 1),
+                   pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)])
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nz, H, W), bq_t.dtype),
         grid=(H // tj,),
-        in_specs=[
-            # windowed inputs: all dims Element (Mosaic all-or-none rule),
-            # single-buffered (double buffering would double the window
-            # VMEM; the DMA stream still overlaps across grid steps)
-            pl.BlockSpec((pl.Element(4), pl.Element(nz), pl.Element(wpad),
-                          pl.Element(We)),
-                         lambda i: (0, 0, i * tj, 0),
-                         memory_space=pltpu.VMEM,
-                         pipeline_mode=pl.Buffered(1)),
-            pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            # the pack is the bulk of the traffic: double-buffer it so its
-            # DMA overlaps the gather+Thomas compute (pe stays single —
-            # 36 double-buffered windows would blow the 128 MB VMEM)
-            pl.BlockSpec((pl.Element(16), pl.Element(nz), pl.Element(wpad),
-                          pl.Element(We)),
-                         lambda i: (0, 0, i * tj, 0),
-                         memory_space=pltpu.VMEM,
-                         pipeline_mode=pl.Buffered(2)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,
-    )(pe_q, bq_t, pack)
+    )(*e4, *blocks_t, ud_t, bet_t, gam_t, bq_t)
 
 
-def relax_compact_tiled(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
+def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
+    """Fused residual + 8-child restriction for one target quad: emits the
+    z-pair sums of r_quad — the target's contribution to the coarse RHS.
+    Residual math is ops/stencil.residual in quad form (same term order);
+    restriction is fine2coarse_3D's child sum (mg_intergrids.f90:139-162)."""
+    a, b_ = target
+    e = {key: refs[i][:, : tj + 2, :] for i, key in enumerate(_TKEYS)}
+    blocks = tuple(refs[4 + m][:] for m in range(nkeys))
+    d_ref, ud_ref, bq_ref, out_ref = refs[4 + nkeys:]
+    nz = d_ref.shape[0]
+    dt = out_ref.dtype
+    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
+          ).astype(dt) if real_matrix else None
+    pq = e[(a, b_)][:, 1: tj + 1, 1:-1]       # own-quad interior
+    ud = ud_ref[:]
+    z1 = jnp.zeros_like(ud[:1])
+    lo2 = jnp.concatenate([z1, ud], axis=0)   # cA2(k),   couples p(k-1)
+    hi2 = jnp.concatenate([ud, z1], axis=0)   # cA2(k+1), couples p(k+1)
+    r = (bq_ref[:]
+         - d_ref[:] * pq
+         - lo2 * _kshift(pq, -1)
+         - hi2 * _kshift(pq, 1)
+         - gather_blocks(e, blocks, a, b_, real_matrix, k0))
+    # z-pair sum via static per-plane adds (a strided leading-dim slice
+    # lowers to an unsupported 3-D gather in Mosaic)
+    out_ref[:] = jnp.stack([r[2 * k] + r[2 * k + 1] for k in range(nz // 2)],
+                           axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("target", "real_matrix", "interpret"))
+def _rr_one(e4: tuple, bq_t, blocks_t: tuple, d_t, ud_t, target,
+            real_matrix: bool, interpret: bool = False) -> jnp.ndarray:
+    """One target's fused residual+restrict: (nz, H, W) quad data ->
+    (nz/2, H, W) z-paired residual sums."""
+    nz, H, W = bq_t.shape
+    nkeys = len(blocks_t)
+    tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize)
+    assert tj is not None, f"residual_restrict kernel unsupported for H={H}"
+    wpad = _roundup8(tj + 2)
+    extra = (H - tj + wpad) - (H + 2)
+    e4 = tuple(_pad_rows(x, extra, 1) for x in e4)
+
+    def win_spec():
+        return pl.BlockSpec((pl.Element(nz), pl.Element(wpad),
+                             pl.Element(W + 2)),
+                            lambda i: (0, i * tj, 0),
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(1))
+
+    def blk_spec(lead):
+        return pl.BlockSpec((lead, tj, W), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(2))
+
+    kern = functools.partial(_rr_kernel, target=target,
+                             real_matrix=real_matrix, tj=tj, nkeys=nkeys)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT)
+    in_specs = ([win_spec() for _ in range(4)]
+                + [blk_spec(nz) for _ in range(nkeys)]
+                + [blk_spec(nz), blk_spec(nz - 1),
+                   pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)])
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nz // 2, H, W), bq_t.dtype),
+        grid=(H // tj,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((nz // 2, tj, W), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(*e4, *blocks_t, d_t, ud_t, bq_t)
+
+
+def residual_restrict_tiled(p: jnp.ndarray, b: jnp.ndarray,
+                            pack: CompactPack, real_matrix: bool,
+                            interpret: bool = False, cA=None) -> jnp.ndarray:
+    """Coarse b = restrict(b - A p) in ONE pass over the fine level: the
+    V-cycle down-leg residual is never materialized in HBM (it is consumed
+    only by fine2coarse there — mg_relax.f90:337/mg_intergrids.f90:16).
+
+    The coarse cell (K, J, I) sums the 8 children = the four target quads'
+    z-pair sums at (J, I); the summation tree matches transfer.restrict_3d
+    ((j-pairs) then (i-pairs)) for identical rounding.
+    """
+    if pack is None:
+        assert cA is not None, "need a CompactPack or the band stack"
+        pack = build_compact_pack(cA, real_matrix)
+    assert p.shape[0] % 2 == 0, "fused residual+restrict needs even nz"
+    ti = {t: i for i, t in enumerate(_TKEYS)}
+    bq = split_quads(b)
+    e = extend_quads(split_quads(p))
+    e4 = tuple(e[k] for k in _TKEYS)
+    zs = {}
+    for t in _TKEYS:
+        m = ti[t]
+        zs[t] = _rr_one(e4, bq[t], pack.blocks[m], pack.d[m], pack.ud[m],
+                        t, real_matrix, interpret=interpret)
+    return ((zs[(0, 0)] + zs[(1, 0)]) + (zs[(0, 1)] + zs[(1, 1)]))
+
+
+def relax_compact_tiled(p: jnp.ndarray, b: jnp.ndarray, pack: CompactPack,
                         nsweeps: int, kind: str, real_matrix: bool,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False, cA=None) -> jnp.ndarray:
     """``nsweeps`` RB/FC sweeps with the tiled fused kernel per (color,
     target quad).
 
-    Same iterates as ops/relax_compact.relax_compact (the kernel reuses
-    its gather; the unrolled Thomas matches the scan's op order).  Quad
-    halo extension between colors stays in XLA (cheap concats); both
-    targets of a color read the same pre-color extension.
+    Same iterates as ops/relax_compact.relax_compact (the kernel reuses its
+    gather and factored Thomas on the same persisted pack).  Quad halo
+    extension between colors stays in XLA (cheap concats); both targets of
+    a color read the same pre-color extension.
     """
+    if pack is None:
+        assert cA is not None, "need a CompactPack or the band stack"
+        pack = build_compact_pack(cA, real_matrix)
     targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
-    qa = [quad_ext_bands(cA[n]) for n in range(cA.shape[0])]
-    packs = {}
-    for targets in targets_by_color:
-        for (a, b_) in targets:
-            packs[(a, b_)] = jnp.stack(
-                [qa[n - 1][quad] for (n, quad) in _band_pairs(a, b_)])
+    ti = {t: i for i, t in enumerate(_TKEYS)}
     bq = split_quads(b)
-    keys = [(a, b_) for a in (0, 1) for b_ in (0, 1)]
 
     def color_update(q, targets):
         e = extend_quads(q)
-        pe_q = jnp.stack([e[k] for k in keys])
+        e4 = tuple(e[k] for k in _TKEYS)
         q = dict(q)
         for t in targets:
-            q[t] = color_update_tiled(pe_q, bq[t], packs[t], t,
+            m = ti[t]
+            q[t] = color_update_tiled(e4, bq[t], pack.blocks[m], pack.ud[m],
+                                      pack.bet[m], pack.gam[m], t,
                                       real_matrix, interpret=interpret)
         return q
 
@@ -203,8 +295,8 @@ def relax_compact_tiled(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
         return merge_quads(q)
 
     def body(i, flat):
-        q = sweep(dict(zip(keys, flat)))
-        return tuple(q[k] for k in keys)
+        q = sweep(dict(zip(_TKEYS, flat)))
+        return tuple(q[k] for k in _TKEYS)
 
-    flat = jax.lax.fori_loop(0, nsweeps, body, tuple(q0[k] for k in keys))
-    return merge_quads(dict(zip(keys, flat)))
+    flat = jax.lax.fori_loop(0, nsweeps, body, tuple(q0[k] for k in _TKEYS))
+    return merge_quads(dict(zip(_TKEYS, flat)))

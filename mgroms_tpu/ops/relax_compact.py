@@ -25,15 +25,18 @@ horizontal-diagonal couplings read pre-color values of the same color
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .relax import tridiag, tridiag_pcr
+from .relax import thomas_factor, tridiag, tridiag_factored, tridiag_pcr
 from .transfer import _interleave
 
 Quads = Dict[Tuple[int, int], jnp.ndarray]
+
+# target-quad key order used everywhere a pack is indexed
+_TKEYS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
 def split_quads(x: jnp.ndarray) -> Quads:
@@ -118,29 +121,128 @@ def _qread(e: Quads, a: int, b: int, dj: int, di: int, dk: int = 0
     return _kshift(x[:, 1 + rj:1 + rj + H, 1 + ri:1 + ri + W], dk)
 
 
-def _offdiag_quad(e: Quads, qa: list, a: int, b: int,
+# The neighbour gather for one target quad, term for term the quad form of
+# ops/stencil.offdiag_columns (mg_relax.f90:263-300).  Each term multiplies
+# a BAND read at a fixed (dk, dj, di) offset — constant operator data — by a
+# STATE read at a fixed offset.  The band reads are therefore pre-sliceable
+# into aligned interior-quad-shaped blocks, persisted once per level
+# (:class:`CompactPack`): the hot path never touches the extended band
+# layout, and Pallas kernels stream the blocks with plain aligned BlockSpecs
+# (no overlapping windows, no pad-row junk DMA).
+#
+# Entries: (band n, (bk, bj, bi) band offset, (pk, pj, pi) state offset),
+# in the exact summation order of the reference gather (bitwise-stable).
+_BASE_TERMS = (
+    (3, (0, 0, 0), (1, -1, 0)),
+    (3, (-1, 1, 0), (-1, 1, 0)),
+    (4, (0, 0, 0), (0, -1, 0)),
+    (4, (0, 1, 0), (0, 1, 0)),
+    (5, (0, 0, 0), (-1, -1, 0)),
+    (5, (1, 1, 0), (1, 1, 0)),
+    (6, (0, 0, 0), (1, 0, -1)),
+    (6, (-1, 0, 1), (-1, 0, 1)),
+    (7, (0, 0, 0), (0, 0, -1)),
+    (7, (0, 0, 1), (0, 0, 1)),
+    (8, (0, 0, 0), (-1, 0, -1)),
+    (8, (1, 0, 1), (1, 0, 1)),
+)
+# bottom-level (k=1) horizontal-diagonal couplings, k0-masked
+# (mg_relax.f90:271-276); the first/third band reads alias _BASE_TERMS
+# entries so gather_keys dedupes them
+_REAL_TERMS = (
+    (5, (0, 0, 0), (0, 1, -1)),
+    (5, (0, -1, 1), (0, -1, 1)),
+    (8, (0, 0, 0), (0, -1, -1)),
+    (8, (0, 1, 1), (0, 1, 1)),
+)
+
+
+def gather_keys(real_matrix: bool) -> tuple:
+    """Unique (band, band-offset) reads of the gather, in first-use order —
+    the per-target block list of a :class:`CompactPack` (12 keys, 14 when
+    ``real_matrix``)."""
+    keys = []
+    terms = _BASE_TERMS + (_REAL_TERMS if real_matrix else ())
+    for n, boff, _ in terms:
+        k = (n, boff)
+        if k not in keys:
+            keys.append(k)
+    return tuple(keys)
+
+
+class CompactPack(NamedTuple):
+    """Persisted per-level smoother operator in quad-gather layout.
+
+    All fields are tuples indexed by target quad (``_TKEYS`` order); block
+    arrays are interior-quad-shaped (nz, H, W) = (nz, ny/2, nx/2) and
+    aligned (no halo ring) — exactly what each gather term multiplies.
+
+    ``bet``/``gam`` are the precomputed Thomas pivots (ops/relax.
+    thomas_factor): the smoothing hot path is division-free and skips the
+    forward elimination entirely.  ``d`` is kept for the PCR option and the
+    quad-form residual.
+    """
+
+    blocks: tuple    # per target: tuple of (nz, H, W), one per gather_keys
+    d: tuple         # per target: (nz, H, W)   in-column diagonal
+    ud: tuple        # per target: (nz-1, H, W) in-column off-diagonal
+    bet: tuple       # per target: (nz, H, W)   reciprocal pivots
+    gam: tuple       # per target: (nz-1, H, W) back-substitution multipliers
+    real_matrix: bool
+
+
+jax.tree_util.register_pytree_node(
+    CompactPack,
+    lambda p: ((p.blocks, p.d, p.ud, p.bet, p.gam), p.real_matrix),
+    lambda aux, c: CompactPack(*c, real_matrix=aux))
+
+
+def build_compact_pack(cA: jnp.ndarray, real_matrix: bool) -> CompactPack:
+    """Pre-slice the extended band stack into the gather-block layout.
+
+    One-time work per level (jit it with assembly); eliminates the per-call
+    ``quad_ext_bands`` pass and its CUC-scale multi-GB HBM transient."""
+    qa = [quad_ext_bands(cA[n]) for n in range(cA.shape[0])]
+    keys = gather_keys(real_matrix)
+    blocks, ds, uds, bets, gams = [], [], [], [], []
+    for (a, b) in _TKEYS:
+        blocks.append(tuple(
+            _qread(qa[n - 1], a, b, bj, bi, bk)
+            for (n, (bk, bj, bi)) in keys))
+        d = qa[0][(a, b)][:, 1:-1, 1:-1]
+        ud = qa[1][(a, b)][1:, 1:-1, 1:-1]
+        bet, gam = thomas_factor(d, ud)
+        ds.append(d)
+        uds.append(ud)
+        bets.append(bet)
+        gams.append(gam)
+    return CompactPack(blocks=tuple(blocks), d=tuple(ds), ud=tuple(uds),
+                       bet=tuple(bets), gam=tuple(gams),
+                       real_matrix=real_matrix)
+
+
+def gather_blocks(e: Quads, blocks_t: tuple, a: int, b: int,
                   real_matrix: bool, k0: jnp.ndarray) -> jnp.ndarray:
-    """Off-column coupling sum for target quad (a, b) — term-for-term the
-    quad form of ops/stencil.offdiag_columns (mg_relax.f90:263-300)."""
-    def P(dk, dj, di):
-        return _qread(e, a, b, dj, di, dk)
+    """Off-column coupling sum for target quad (a, b) from persisted
+    gather blocks — same term order (and bitwise result) as the reference
+    gather (mg_relax.f90:263-300)."""
+    keys = gather_keys(real_matrix)
+    idx = {k: i for i, k in enumerate(keys)}
 
-    def B(n, dk=0, dj=0, di=0):
-        return _qread(qa[n - 1], a, b, dj, di, dk)
+    def term(n, boff, poff):
+        pk, pj, pi = poff
+        return blocks_t[idx[(n, boff)]] * _qread(e, a, b, pj, pi, pk)
 
-    s = (
-        B(3) * P(1, -1, 0) + B(3, dk=-1, dj=1) * P(-1, 1, 0)
-        + B(4) * P(0, -1, 0) + B(4, dj=1) * P(0, 1, 0)
-        + B(5) * P(-1, -1, 0) + B(5, dk=1, dj=1) * P(1, 1, 0)
-        + B(6) * P(1, 0, -1) + B(6, dk=-1, di=1) * P(-1, 0, 1)
-        + B(7) * P(0, 0, -1) + B(7, di=1) * P(0, 0, 1)
-        + B(8) * P(-1, 0, -1) + B(8, dk=1, di=1) * P(1, 0, 1)
-    )
+    s = None
+    for n, boff, poff in _BASE_TERMS:
+        t = term(n, boff, poff)
+        s = t if s is None else s + t
     if real_matrix:
-        # bottom-level horizontal-diagonal couplings (mg_relax.f90:271-276)
-        s = s + k0 * (
-            B(5) * P(0, 1, -1) + B(5, dj=-1, di=1) * P(0, -1, 1)
-            + B(8) * P(0, -1, -1) + B(8, dj=1, di=1) * P(0, 1, 1))
+        x = None
+        for n, boff, poff in _REAL_TERMS:
+            t = term(n, boff, poff)
+            x = t if x is None else x + t
+        s = s + k0 * x
     return s
 
 
@@ -154,7 +256,8 @@ _FC_TARGETS = (((0, 0),), ((1, 0),), ((0, 1),), ((1, 1),))
 def relax_compact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
                   nsweeps: int, kind: str, real_matrix: bool,
                   tridiag_method: str = "thomas",
-                  extend_fn=None) -> jnp.ndarray:
+                  extend_fn=None, pack: CompactPack | None = None
+                  ) -> jnp.ndarray:
     """``nsweeps`` RB (or FC) line-smoothing sweeps in quad-parity form.
 
     ``extend_fn`` maps the four quads to their halo-extended forms; the
@@ -162,30 +265,37 @@ def relax_compact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
     The distributed backend passes a ppermute seam exchange
     (parallel/exchange.extend_quads_shard) — shard tiles must have even
     dims so local quad parity equals global parity.  Requires even ny, nx.
+
+    ``pack`` is the persisted gather-block operator; if absent it is built
+    here (one extra HBM pass, fine for tests / per-call shard_map use).
     """
     extend = extend_fn or extend_quads
     nz, ny, nx = p.shape
     assert ny % 2 == 0 and nx % 2 == 0, "compact relax needs even ny, nx"
     targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
-    solver = tridiag_pcr if tridiag_method == "pcr" else tridiag
+    if pack is None:
+        pack = build_compact_pack(cA, real_matrix)
+    ti = {t: i for i, t in enumerate(_TKEYS)}
 
-    qa = [quad_ext_bands(cA[n]) for n in range(cA.shape[0])]
     bq = split_quads(b)
-    # in-column tridiagonal coefficients per quad (interior slices)
-    dq = {k: v[:, 1:-1, 1:-1] for k, v in qa[0].items()}
-    udq = {k: v[1:, 1:-1, 1:-1] for k, v in qa[1].items()}
     k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
           ).astype(p.dtype) if real_matrix else None
 
     def color_update(q: Quads, targets) -> Quads:
         e = extend(q)
-        rhs = [bq[t] - _offdiag_quad(e, qa, t[0], t[1], real_matrix, k0)
+        rhs = [bq[t] - gather_blocks(e, pack.blocks[ti[t]], t[0], t[1],
+                                     real_matrix, k0)
                for t in targets]
         # concat target quads along x: one full-width tridiag solve
-        sol = solver(
-            jnp.concatenate([dq[t] for t in targets], axis=-1),
-            jnp.concatenate([udq[t] for t in targets], axis=-1),
-            jnp.concatenate(rhs, axis=-1))
+        cat = lambda f: jnp.concatenate([f[ti[t]] for t in targets], axis=-1)
+        r = jnp.concatenate(rhs, axis=-1)
+        if tridiag_method == "pcr":
+            sol = tridiag_pcr(cat(pack.d), cat(pack.ud), r)
+        else:
+            # division-free substitution with precomputed pivots — bitwise
+            # the reference Thomas recurrence (ops/relax.thomas_factor)
+            sol = tridiag_factored(cat(pack.bet), cat(pack.gam),
+                                   cat(pack.ud), r)
         q = dict(q)
         W = p.shape[2] // 2
         for n, t in enumerate(targets):

@@ -56,19 +56,21 @@ def shard_operators(ops: List[LevelOperator], plan: MeshPlan
 
 class DistributedBackend(SingleDeviceBackend):
     def __init__(self, levels: List[LevelSpec], ops: List[LevelOperator],
-                 cfg: SolverConfig, plan: MeshPlan, platform=None):
-        super().__init__(levels, ops, cfg, platform=platform)
+                 cfg: SolverConfig, plan: MeshPlan, platform=None,
+                 packs=None):
+        super().__init__(levels, ops, cfg, platform=platform, packs=packs)
         self.plan = plan
         self.ndevices = int(plan.mesh.devices.size)
 
     def tree_flatten(self):
-        return (self.ops,), (self.levels, self.cfg, self.plan, self.platform)
+        return ((self.ops, self.packs),
+                (self.levels, self.cfg, self.plan, self.platform))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         levels, cfg, plan, platform = aux
         return cls(list(levels), list(children[0]), cfg, plan,
-                   platform=platform)
+                   platform=platform, packs=list(children[1]))
 
     def _use_compact(self, lev):
         # quad-parity reshape of a py/px-sharded array would force GSPMD
@@ -94,6 +96,10 @@ class DistributedBackend(SingleDeviceBackend):
     def restrict(self, lev, r):
         # the transition level's constraint IS the agglomeration collective
         return self.plan.constrain(lev + 1, super().restrict(lev, r))
+
+    def residual_restrict(self, lev, p, b):
+        return self.plan.constrain(
+            lev + 1, super().residual_restrict(lev, p, b))
 
     def prolong(self, lev, pc):
         return self.plan.constrain(lev, super().prolong(lev, pc))

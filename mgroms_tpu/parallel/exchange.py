@@ -122,6 +122,72 @@ def psum2(x: jnp.ndarray, py_axis: str = "py", px_axis: str = "px"):
     return lax.psum(lax.psum(x, px_axis), py_axis)
 
 
+def block_overlapped(a: jnp.ndarray, npy: int, npx: int,
+                     extra_j: int, extra_i: int) -> jnp.ndarray:
+    """Blocked per-shard layout of a global array whose last two dims carry
+    ``extra_j``/``extra_i`` overlap rows/columns beyond npy*ny_l / npx*nx_l
+    (halo rings, staggered shared faces).  Block (pj, pi) holds global rows
+    [pj*ny_l, pj*ny_l + ny_l + extra_j) x the analogous columns — adjacent
+    blocks duplicate the overlap, exactly the reference's per-rank staggered
+    storage (u(1:nx+1,0:ny+1,:) etc, nhydro.f90:56-59)."""
+    nyg = a.shape[-2] - extra_j
+    nxg = a.shape[-1] - extra_i
+    ny_l, nx_l = nyg // npy, nxg // npx
+    rows = []
+    for pj in range(npy):
+        cols = []
+        for pi in range(npx):
+            cols.append(a[..., pj * ny_l: pj * ny_l + ny_l + extra_j,
+                          pi * nx_l: pi * nx_l + nx_l + extra_i])
+        rows.append(jnp.concatenate(cols, axis=-1))
+    return jnp.concatenate(rows, axis=-2)
+
+
+def unblock_overlapped(ab: jnp.ndarray, npy: int, npx: int,
+                       extra_j: int, extra_i: int) -> jnp.ndarray:
+    """Inverse of :func:`block_overlapped` (overlap values agree by
+    construction; each global entry is taken from one owner block)."""
+    bj = ab.shape[-2] // npy            # ny_l + extra_j
+    bi = ab.shape[-1] // npx
+    ny_l, nx_l = bj - extra_j, bi - extra_i
+    rows = []
+    for pj in range(npy):
+        blk = ab[..., pj * bj: (pj + 1) * bj, :]
+        if pj < npy - 1:
+            blk = blk[..., :ny_l, :]
+        cols = []
+        for pi in range(npx):
+            c = blk[..., pi * bi: (pi + 1) * bi]
+            if pi < npx - 1:
+                c = c[..., :nx_l]
+            cols.append(c)
+        rows.append(jnp.concatenate(cols, axis=-1))
+    return jnp.concatenate(rows, axis=-2)
+
+
+def shard_face_masks(ny_l: int, nx_l: int, dtype,
+                     py_axis: str = "py", px_axis: str = "px"):
+    """Per-shard velocity-flux face masks: zero the wall-normal flux only
+    at PHYSICAL walls (the distributed image of ops/rhs.wall_face_masks —
+    the reference's ``lbc_null`` Dirichlet, mg_mpi_exchange.f90:952-1013).
+    Must run inside shard_map."""
+    pi = lax.axis_index(px_axis)
+    pj = lax.axis_index(py_axis)
+    west = pi == 0
+    east = pi == lax.axis_size(px_axis) - 1
+    south = pj == 0
+    north = pj == lax.axis_size(py_axis) - 1
+    icol = jnp.arange(nx_l + 1)[None, :]
+    um = jnp.where((icol == 0) & west, 0.0, 1.0) \
+        * jnp.where((icol == nx_l) & east, 0.0, 1.0)
+    um = jnp.broadcast_to(um, (ny_l, nx_l + 1)).astype(dtype)
+    jrow = jnp.arange(ny_l + 1)[:, None]
+    vm = jnp.where((jrow == 0) & south, 0.0, 1.0) \
+        * jnp.where((jrow == ny_l) & north, 0.0, 1.0)
+    vm = jnp.broadcast_to(vm, (ny_l + 1, nx_l)).astype(dtype)
+    return um, vm
+
+
 def block_extended(a_ext: jnp.ndarray, npy: int, npx: int) -> jnp.ndarray:
     """Per-shard-extended blocked layout of a halo-extended global field.
 

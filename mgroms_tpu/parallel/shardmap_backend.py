@@ -71,11 +71,13 @@ class ShardMapBackend(DistributedBackend):
     """Same cycle math, explicit communication."""
 
     def __init__(self, levels: List[LevelSpec], ops: List[LevelOperator],
-                 cfg: SolverConfig, plan: MeshPlan, platform=None):
+                 cfg: SolverConfig, plan: MeshPlan, platform=None,
+                 packs=None):
         # skip DistributedBackend.__init__'s assumptions: ops here may
         # already be blocked
         super(DistributedBackend, self).__init__(levels, ops, cfg,
-                                                 platform=platform)
+                                                 platform=platform,
+                                                 packs=packs)
         self.plan = plan
         self.ndevices = int(plan.mesh.devices.size)
 

@@ -44,6 +44,38 @@ def _arrays_platform(ops) -> str:
         return jax.devices()[0].platform
 
 
+def compact_eligible(spec: LevelSpec, cfg: SolverConfig,
+                     platform: str) -> bool:
+    """Quad-parity compact relax eligibility (single-shard form).
+
+    On TPU the quad tile (ny/2, nx/2) must still fill the (8, 128) vector
+    registers — below that, lane padding wastes more than the halved flops
+    save (measured: 64^3 compact 2.76 ms vs masked 1.79 ms per F-cycle; the
+    win is reserved for CUC-scale levels)."""
+    if not (cfg.compact and spec.nd == 8
+            and cfg.relax_kind in ("RB", "FC")
+            and spec.nyg % 2 == 0 and spec.nxg % 2 == 0):
+        return False
+    if platform == "cpu":
+        return True
+    return spec.nxg // 2 >= 128 and spec.nyg // 2 >= 8
+
+
+def build_relax_packs(levels, ops, cfg: SolverConfig, platform: str,
+                      eligible=None) -> list:
+    """Persisted gather-block operators (CompactPack) for the levels whose
+    smoothing will run the compact path; None elsewhere.  One-time work —
+    call under jit alongside assembly."""
+    from .ops.relax_compact import build_compact_pack
+    packs = []
+    for lev, spec in enumerate(levels):
+        ok = (compact_eligible(spec, cfg, platform) if eligible is None
+              else eligible[lev])
+        packs.append(build_compact_pack(ops[lev].cA, cfg.cmatrix == "real")
+                     if ok else None)
+    return packs
+
+
 class SingleDeviceBackend:
     """All per-level ops on one device (physical BCs on every edge).
 
@@ -55,7 +87,8 @@ class SingleDeviceBackend:
     """
 
     def __init__(self, levels: List[LevelSpec], ops: List[LevelOperator],
-                 cfg: SolverConfig, platform: Optional[str] = None):
+                 cfg: SolverConfig, platform: Optional[str] = None,
+                 packs: Optional[list] = None):
         self.levels = tuple(levels)
         self.ops = list(ops)
         self.cfg = cfg
@@ -66,14 +99,18 @@ class SingleDeviceBackend:
         # (arrays are concrete there) and carried through tree_flatten so
         # traced re-constructions keep it.
         self.platform = platform or _arrays_platform(ops)
+        # persisted compact-smoother operators (build_relax_packs); None
+        # per level when the compact path is ineligible there
+        self.packs = list(packs) if packs is not None else [None] * len(levels)
 
     def tree_flatten(self):
-        return (self.ops,), (self.levels, self.cfg, self.platform)
+        return (self.ops, self.packs), (self.levels, self.cfg, self.platform)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         levels, cfg, platform = aux
-        return cls(list(levels), list(children[0]), cfg, platform=platform)
+        return cls(list(levels), list(children[0]), cfg, platform=platform,
+                   packs=list(children[1]))
 
     # -- halos -------------------------------------------------------------
     def extend(self, lev: int, x: jnp.ndarray) -> jnp.ndarray:
@@ -90,18 +127,7 @@ class SingleDeviceBackend:
     def _use_compact(self, lev: int) -> bool:
         """Quad-parity compact relax: single-shard physical-BC form only
         (the distributed backend overrides this for sharded levels)."""
-        spec = self.levels[lev]
-        if not (self.cfg.compact and spec.nd == 8
-                and self.cfg.relax_kind in ("RB", "FC")
-                and spec.nyg % 2 == 0 and spec.nxg % 2 == 0):
-            return False
-        if self.platform == "cpu":
-            return True
-        # TPU: the quad tile (ny/2, nx/2) must still fill the (8, 128)
-        # vector registers — below that, lane padding wastes more than the
-        # halved flops save (measured: 64^3 compact 2.76 ms vs masked
-        # 1.79 ms per F-cycle; the win is reserved for CUC-scale levels)
-        return spec.nxg // 2 >= 128 and spec.nyg // 2 >= 8
+        return compact_eligible(self.levels[lev], self.cfg, self.platform)
 
     def relax(self, lev: int, p, b, nsweeps: int):
         spec = self.levels[lev]
@@ -130,14 +156,16 @@ class SingleDeviceBackend:
         if self._use_compact(lev):
             if self._use_tiled(lev, kind="relax"):
                 from .ops.pallas.relax_tiled import relax_compact_tiled
-                return relax_compact_tiled(p, b, self.ops[lev].cA, nsweeps,
+                return relax_compact_tiled(p, b, self.packs[lev], nsweeps,
                                            self.cfg.relax_kind,
-                                           self.cfg.cmatrix == "real")
+                                           self.cfg.cmatrix == "real",
+                                           cA=self.ops[lev].cA)
             from .ops.relax_compact import relax_compact
             return relax_compact(p, b, self.ops[lev].cA, nsweeps,
                                  self.cfg.relax_kind,
                                  self.cfg.cmatrix == "real",
-                                 tridiag_method=self.cfg.tridiag)
+                                 tridiag_method=self.cfg.tridiag,
+                                 pack=self.packs[lev])
         return relax_ops.relax(
             p, b, self.ops[lev].cA, nsweeps, self.cfg.relax_kind,
             self.cfg.cmatrix == "real",
@@ -157,7 +185,8 @@ class SingleDeviceBackend:
             if not self.cfg.pallas_tiled_relax:
                 return False
             from .ops.pallas.relax_tiled import supports
-            return supports(spec.nzg, spec.nyg // 2, spec.nxg // 2, item)
+            return supports(spec.nzg, spec.nyg // 2, spec.nxg // 2, item,
+                            real_matrix=self.cfg.cmatrix == "real")
         # small grids: per-call kernel overhead + window padding beat the
         # fusion gain (64^3 F-cycle regressed 1.36 -> 1.71 ms); the tiled
         # residual wins from ~256-wide levels (CUC 344 -> 309 ms/F-cycle)
@@ -180,6 +209,23 @@ class SingleDeviceBackend:
         """grid(lev)%r -> grid(lev+1)%b (fine2coarse, mg_intergrids.f90:16)."""
         aggressive = self.levels[lev + 1].aggressive_from_prev
         return transfer.restrict(r, aggressive=aggressive)
+
+    def residual_restrict(self, lev: int, p, b):
+        """Coarse b = restrict(b - A p) — the V-cycle down-leg pair
+        (compute_residual + fine2coarse, mg_solvers.f90:137-140).  On TPU
+        compact levels the pair fuses into one Pallas pass and the fine
+        residual never touches HBM."""
+        spec = self.levels[lev]
+        if (not self.levels[lev + 1].aggressive_from_prev
+                and spec.nzg % 2 == 0
+                and self._use_compact(lev)
+                and self._use_tiled(lev, kind="relax")):
+            from .ops.pallas.relax_tiled import residual_restrict_tiled
+            return residual_restrict_tiled(p, b, self.packs[lev],
+                                           self.cfg.cmatrix == "real",
+                                           interpret=self.platform == "cpu",
+                                           cA=self.ops[lev].cA)
+        return self.restrict(lev, self.residual(lev, p, b))
 
     def prolong(self, lev: int, pc):
         """grid(lev+1)%p -> correction on lev (coarse2fine, :167-228)."""
@@ -211,8 +257,7 @@ def vcycle(backend, ps: list, bs: list, top: int,
     L = backend.nlevs
     for lev in range(top, L - 1):
         ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_pre)
-        r = backend.residual(lev, ps[lev], bs[lev])
-        bs[lev + 1] = backend.restrict(lev, r)
+        bs[lev + 1] = backend.residual_restrict(lev, ps[lev], bs[lev])
         ps[lev + 1] = backend.zeros(lev + 1)
     ps[L - 1] = backend.relax(L - 1, ps[L - 1], bs[L - 1], cfg.ns_coarsest)
     for lev in range(L - 2, top - 1, -1):
@@ -250,8 +295,7 @@ def vcycle2(backend, ps: list, bs: list, top: int, bottom: int,
     (``Vcycle2``, mg_solvers.f90:155-177)."""
     for lev in range(top, bottom):
         ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_pre)
-        r = backend.residual(lev, ps[lev], bs[lev])
-        bs[lev + 1] = backend.restrict(lev, r)
+        bs[lev + 1] = backend.residual_restrict(lev, ps[lev], bs[lev])
         ps[lev + 1] = backend.zeros(lev + 1)
     ps[bottom] = backend.relax(bottom, ps[bottom], bs[bottom],
                                cfg.ns_coarsest)
