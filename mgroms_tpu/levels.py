@@ -15,11 +15,12 @@ Level-count and per-level-dims logic mirrors:
 Parallel-plan notes: the reference gathers subdomains gradually (2x2 ranks
 merge whenever the local tile drops below ``nsmall``; all four replicate the
 merged compute — "replicate, don't idle", mg_gather.f90).  On a TPU mesh we
-keep the same trigger rule but de-shard in ONE step: the first level whose
-local tile would fall below ``nsmall`` becomes fully replicated on every
-device (a single tiny all-gather over ICI), and every device runs the whole
-coarse stack.  Same replicate-not-idle policy, fewer collectives, and the
-up-leg "split" (mg_gather.f90:177-220) becomes a local slice.
+keep the same trigger rule and stage the de-sharding BY MESH AXIS: when a
+level's local tile falls below ``nsmall``, the bottleneck axis is dropped
+(the level replicates along it — one all-gather over that axis at the
+restrict transition), and only when both axes are dropped is the level
+fully replicated on every device.  Same replicate-not-idle policy; the
+up-leg "split" (mg_gather.f90:177-220) becomes a local slice / re-shard.
 """
 
 from __future__ import annotations
@@ -51,13 +52,22 @@ class LevelSpec:
 
 @dataclasses.dataclass(frozen=True)
 class ShardSpec:
-    """Distribution of one level over an (npx, npy) device mesh."""
+    """Distribution of one level over an (npx, npy) device mesh.
 
-    sharded: bool         # False => fully replicated on every device
-    npx: int              # devices along x actually splitting the data
-    npy: int
+    Staged agglomeration: a level may be sharded over a SUBSET of the mesh
+    axes (``shard_py``/``shard_px``) — the TPU image of the reference's
+    gradual gathers (mg_grids.f90:550-575, mg_gather.f90: ranks merge and
+    replicate as tiles shrink).  Dropping an axis replicates the level
+    along it (one all-gather over that axis at the restrict transition);
+    ``sharded`` is False only when both axes are dropped."""
+
+    sharded: bool         # any mesh axis still splitting the data
+    npx: int              # devices along x actually splitting the data (1 if
+    npy: int              # that axis is dropped)
     nx: int               # local interior points in x (per device)
     ny: int
+    shard_py: bool = False
+    shard_px: bool = False
 
 
 def find_grid_levels(nxg: int, nyg: int, nzg: int,
@@ -112,26 +122,40 @@ def build_shard_plan(levels: List[LevelSpec], npx: int, npy: int,
                      nsmall: int = 8) -> List[ShardSpec]:
     """Per-level distribution plan over an (npx, npy) mesh.
 
-    Trigger rule mirrors mg_grids.f90:550: a level de-shards when the local
-    tile's smaller horizontal dimension would drop below ``nsmall`` (and more
-    than one device is in play).  Unlike the reference's gradual 2x2 gathers
-    we de-shard to full replication in one step (see module docstring).
+    Trigger rule mirrors mg_grids.f90:550: whenever the local tile's
+    smaller horizontal dimension would drop below ``nsmall`` (or stop
+    dividing evenly), the parallel degree shrinks — STAGED, like the
+    reference's gradual gathers: the mesh axis whose local extent is the
+    bottleneck is dropped first (that level becomes replicated along it),
+    and only when both axes are dropped is the level fully replicated.
+    Axis drops are monotonic down the hierarchy (coarser levels never
+    re-shard a dropped axis), mirroring the reference's one-way gathers.
     """
     specs: List[ShardSpec] = []
-    replicated = False
+    py, px = npy > 1, npx > 1          # active axes (monotonic)
     for spec in levels:
-        if npx * npy == 1:
-            specs.append(ShardSpec(False, 1, 1, spec.nxg, spec.nyg))
-            continue
-        if spec.nxg % npx or spec.nyg % npy:
-            replicated = True
-        elif min(spec.nxg // npx, spec.nyg // npy) < nsmall:
-            replicated = True
-        if replicated:
-            specs.append(ShardSpec(False, 1, 1, spec.nxg, spec.nyg))
-        else:
-            specs.append(ShardSpec(True, npx, npy,
-                                   spec.nxg // npx, spec.nyg // npy))
+        while True:
+            apy = npy if py else 1
+            apx = npx if px else 1
+            bad_y = py and (spec.nyg % npy or spec.nyg // npy < nsmall)
+            bad_x = px and (spec.nxg % npx or spec.nxg // npx < nsmall)
+            if not (bad_y or bad_x):
+                break
+            # drop the bottleneck axis (smaller local extent first)
+            if bad_y and bad_x:
+                if spec.nyg // npy <= spec.nxg // npx:
+                    py = False
+                else:
+                    px = False
+            elif bad_y:
+                py = False
+            else:
+                px = False
+        apy = npy if py else 1
+        apx = npx if px else 1
+        specs.append(ShardSpec(py or px, apx, apy,
+                               spec.nxg // apx, spec.nyg // apy,
+                               shard_py=py, shard_px=px))
     return specs
 
 
@@ -143,8 +167,12 @@ def describe(levels: List[LevelSpec],
     for i, l in enumerate(levels):
         if shards is not None:
             s = shards[i]
-            dist = f"{s.npx}x{s.npy} shard {s.nx}x{s.ny}" if s.sharded \
-                else "replicated"
+            if s.sharded:
+                ax = ("py" if s.shard_py else "") + \
+                     ("px" if s.shard_px else "")
+                dist = f"{s.npx}x{s.npy} shard {s.nx}x{s.ny} [{ax}]"
+            else:
+                dist = "replicated"
         else:
             dist = "-"
         out.append(f"{l.index:3d} {l.nxg:6d} {l.nyg:6d} {l.nzg:4d} "

@@ -26,11 +26,13 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _extend_axis(x: jnp.ndarray, axis_name: str, ax: int) -> jnp.ndarray:
+def _extend_axis(x: jnp.ndarray, axis_name, ax: int) -> jnp.ndarray:
     """Halo-1 extension of local array ``x`` along dimension ``ax``
     (sharded over mesh axis ``axis_name``): neighbour edge slices via
-    ppermute, physical mirror (edge copy) at the domain boundary."""
-    n = lax.axis_size(axis_name)
+    ppermute, physical mirror (edge copy) at the domain boundary.
+    ``axis_name=None`` (axis dropped by staged agglomeration — the local
+    block spans the full domain there) applies the physical mirror only."""
+    n = 1 if axis_name is None else lax.axis_size(axis_name)
     m = x.shape[ax]
     lo_edge = lax.slice_in_dim(x, 0, 1, axis=ax)
     hi_edge = lax.slice_in_dim(x, m - 1, m, axis=ax)
@@ -63,8 +65,9 @@ def _edge_pair(lo_own, hi_own, lo_mirror, hi_mirror, axis_name):
     neighbour's edge slice, substitute the physical mirror at the domain
     boundary.  ``lo_own``/``hi_own`` are the slices this shard SENDS (its
     first/last active row of the relevant quad); ``lo_mirror``/``hi_mirror``
-    the in-shard mirror values used at the domain edges."""
-    n = lax.axis_size(axis_name)
+    the in-shard mirror values used at the domain edges.
+    ``axis_name=None`` (dropped axis): physical mirror only."""
+    n = 1 if axis_name is None else lax.axis_size(axis_name)
     if n == 1:
         return lo_mirror, hi_mirror
     idx = lax.axis_index(axis_name)
@@ -107,12 +110,12 @@ def extend_quads_shard(q, py_axis: str = "py", px_axis: str = "px"):
     return e
 
 
-def axis_offsets(ny_l: int, nx_l: int, py_axis: str = "py",
-                 px_axis: str = "px"):
+def axis_offsets(ny_l: int, nx_l: int, py_axis="py", px_axis="px"):
     """Global interior origin (j0, i0) of this shard — feeds the global
-    red-black parity (reference color rule mod(i+j), mg_relax.f90:172)."""
-    j0 = lax.axis_index(py_axis) * ny_l
-    i0 = lax.axis_index(px_axis) * nx_l
+    red-black parity (reference color rule mod(i+j), mg_relax.f90:172).
+    A ``None`` axis (dropped by staged agglomeration) has origin 0."""
+    j0 = lax.axis_index(py_axis) * ny_l if py_axis else 0
+    i0 = lax.axis_index(px_axis) * nx_l if px_axis else 0
     return j0, i0
 
 

@@ -59,13 +59,12 @@ class MeshPlan:
         return cls(mesh=mesh, shards=shards)
 
     def spec(self, lev: int, ndim: int = 3) -> P:
-        if self.shards[lev].sharded:
-            if ndim == 3:
-                return P(None, "py", "px")
-            if ndim == 2:
-                return P("py", "px")
-            return P(*([None] * (ndim - 2) + ["py", "px"]))
-        return P()
+        sh = self.shards[lev]
+        if not sh.sharded:
+            return P()
+        py = "py" if sh.shard_py else None
+        px = "px" if sh.shard_px else None
+        return P(*([None] * (ndim - 2) + [py, px]))
 
     def sharding(self, lev: int, ndim: int = 3) -> NamedSharding:
         return NamedSharding(self.mesh, self.spec(lev, ndim))

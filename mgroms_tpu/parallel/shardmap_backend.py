@@ -41,21 +41,23 @@ from .backend import DistributedBackend
 from .exchange import axis_offsets, block_extended, halo_extend
 from .mesh import MeshPlan
 
-_SPEC3 = P(None, "py", "px")
-_SPEC4 = P(None, None, "py", "px")
 
 
 def shard_operators_blocked(ops: List[LevelOperator], plan: MeshPlan
                             ) -> List[LevelOperator]:
     """Sharded levels: cA in per-shard-extended blocked layout, one tile per
-    device.  Replicated levels: unchanged replicated placement."""
+    device (blocked only along the level's ACTIVE mesh axes — staged
+    agglomeration).  Replicated levels: unchanged replicated placement."""
     npy, npx = plan.mesh.devices.shape
     repl = NamedSharding(plan.mesh, P())
-    blk = NamedSharding(plan.mesh, _SPEC4)
     out = []
     for lev, op in enumerate(ops):
-        if plan.shards[lev].sharded:
-            cA = jax.device_put(block_extended(op.cA, npy, npx), blk)
+        sh = plan.shards[lev]
+        if sh.sharded:
+            bpy = npy if sh.shard_py else 1
+            bpx = npx if sh.shard_px else 1
+            blk = NamedSharding(plan.mesh, plan.spec(lev, 4))
+            cA = jax.device_put(block_extended(op.cA, bpy, bpx), blk)
         else:
             cA = jax.device_put(op.cA, repl)
         out.append(LevelOperator(
@@ -96,12 +98,21 @@ class ShardMapBackend(DistributedBackend):
             return True
         return sh.nx // 2 >= 128 and sh.ny // 2 >= 8
 
+    def _axes(self, lev):
+        """Active mesh axis names for this level (None = dropped by staged
+        agglomeration: physical mirror instead of seam exchange there)."""
+        sh = self.plan.shards[lev]
+        return ("py" if sh.shard_py else None,
+                "px" if sh.shard_px else None)
+
     def relax(self, lev, p, b, nsweeps):
         sh = self.plan.shards[lev]
         if not sh.sharded:
             return super().relax(lev, p, b, nsweeps)
         cfg = self.cfg
         use_compact = self._use_compact_shard(lev)
+        pya, pxa = self._axes(lev)
+        sp3, sp4 = self.plan.spec(lev, 3), self.plan.spec(lev, 4)
 
         def local(p_l, b_l, cA_l):
             if use_compact:
@@ -110,16 +121,18 @@ class ShardMapBackend(DistributedBackend):
                 return relax_compact(
                     p_l, b_l, cA_l, nsweeps, cfg.relax_kind,
                     cfg.cmatrix == "real", tridiag_method=cfg.tridiag,
-                    extend_fn=extend_quads_shard)
-            j0, i0 = axis_offsets(sh.ny, sh.nx)
+                    extend_fn=lambda q: extend_quads_shard(
+                        q, py_axis=pya, px_axis=pxa))
+            j0, i0 = axis_offsets(sh.ny, sh.nx, pya, pxa)
             return relax_ops.relax(
                 p_l, b_l, cA_l, nsweeps, cfg.relax_kind,
-                cfg.cmatrix == "real", extend_fn=halo_extend,
+                cfg.cmatrix == "real",
+                extend_fn=lambda x: halo_extend(x, pya, pxa),
                 j0=j0, i0=i0, tridiag_method=cfg.tridiag)
 
         f = jax.shard_map(local, mesh=self.plan.mesh,
-                          in_specs=(_SPEC3, _SPEC3, _SPEC4),
-                          out_specs=_SPEC3)
+                          in_specs=(sp3, sp3, sp4),
+                          out_specs=sp3)
         return f(p, b, self.ops[lev].cA)
 
     # -- residual -------------------------------------------------------------
@@ -127,36 +140,45 @@ class ShardMapBackend(DistributedBackend):
         if not self.plan.shards[lev].sharded:
             return super().residual(lev, p, b)
         real = self.cfg.cmatrix == "real"
+        pya, pxa = self._axes(lev)
+        sp3, sp4 = self.plan.spec(lev, 3), self.plan.spec(lev, 4)
 
         def local(p_l, b_l, cA_l):
-            return stencil.residual(halo_extend(p_l), b_l, cA_l, real)
+            return stencil.residual(halo_extend(p_l, pya, pxa), b_l, cA_l,
+                                    real)
 
         f = jax.shard_map(local, mesh=self.plan.mesh,
-                          in_specs=(_SPEC3, _SPEC3, _SPEC4),
-                          out_specs=_SPEC3)
+                          in_specs=(sp3, sp3, sp4),
+                          out_specs=sp3)
         return f(p, b, self.ops[lev].cA)
 
     # -- transfers ------------------------------------------------------------
     # restrict: the 8-child sum is shard-local (children of a local coarse
     # tile are exactly the local fine tile); the GSPMD reshape-sum inherits
-    # the sharding with no communication, and the de-shard transition level
-    # is one all-gather — keep the parent implementation.
+    # the sharding with no communication, and each stage transition (an
+    # axis drop) is one all-gather over that axis — keep the parent
+    # implementation with its per-level constraint.
 
     def prolong(self, lev, pc):
-        if not (self.plan.shards[lev].sharded
-                and self.plan.shards[lev + 1].sharded):
-            # coarse level replicated (or 2-D edge cases): parent path
+        shf, shc = self.plan.shards[lev], self.plan.shards[lev + 1]
+        if not (shf.sharded and shc.sharded
+                and shf.shard_py == shc.shard_py
+                and shf.shard_px == shc.shard_px):
+            # replicated coarse level, or a stage transition (different
+            # active axes): the GSPMD path inserts the re-shard collective
             return super().prolong(lev, pc)
         nz_f = self.levels[lev].nzg
         interp = self.cfg.interp_type
         aggressive = self.levels[lev + 1].aggressive_from_prev
+        pya, pxa = self._axes(lev)
+        sp3c, sp3f = self.plan.spec(lev + 1, 3), self.plan.spec(lev, 3)
 
         def local(pc_l):
-            return transfer.prolong(halo_extend(pc_l), nz_f, interp,
-                                    aggressive=aggressive)
+            return transfer.prolong(halo_extend(pc_l, pya, pxa), nz_f,
+                                    interp, aggressive=aggressive)
 
         f = jax.shard_map(local, mesh=self.plan.mesh,
-                          in_specs=(_SPEC3,), out_specs=_SPEC3)
+                          in_specs=(sp3c,), out_specs=sp3f)
         return f(pc)
 
 

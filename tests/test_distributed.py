@@ -19,13 +19,13 @@ needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
                             reason="needs 8 virtual devices")
 
 
-def _solve(nx, ny, nz, mesh_shape=None, **cfg_kw):
+def _solve(nx, ny, nz, mesh_shape=None, comm="gspmd", **cfg_kw):
     m = NHModel(nx, ny, nz, cfg=SolverConfig(**cfg_kw))
     c = setup_seamount(nx, ny, nz)
     m.set_matrices(c.dx, c.dy, c.zeta, c.h, hc=c.hc,
                    theta_b=c.theta_b, theta_s=c.theta_s)
     if mesh_shape is not None:
-        m.distribute(*mesh_shape)
+        m.distribute(*mesh_shape, comm=comm)
     u, v, w = initial_velocities(nx, ny, nz)
     b = m.rhs(u, v, w)
     p, info = m.pressure_solve(b, tol=1e-10, maxiter=12)
@@ -33,13 +33,25 @@ def _solve(nx, ny, nz, mesh_shape=None, **cfg_kw):
 
 
 @needs8
-def test_mesh_plan_deshards_coarse_levels():
+def test_mesh_plan_deshards_coarse_levels_staged():
+    """Staged agglomeration (reference: gradual gathers, mg_grids.f90:
+    550-575): the bottleneck mesh axis is dropped first; full replication
+    only when both axes are dropped."""
     mesh = make_mesh(4, 2)
     levels = build_level_plan(32, 32, 32)
     plan = MeshPlan.create(mesh, levels, nsmall=8)
-    # 32/4=8 local at level 0 -> sharded; 16/4=4 < 8 -> replicated below
-    assert plan.shards[0].sharded
-    assert not plan.shards[1].sharded
+    # level 0: 32/4=8, 32/2=16 -> sharded on both axes
+    s0 = plan.shards[0]
+    assert s0.sharded and s0.shard_py and s0.shard_px
+    # level 1: 16/4=4 < 8 in x -> px dropped, py (16/2=8) stays
+    s1 = plan.shards[1]
+    assert s1.sharded and s1.shard_py and not s1.shard_px
+    assert (s1.nx, s1.ny) == (16, 8)
+    # level 2: 8/2=4 < 8 in y -> fully replicated
+    assert not plan.shards[2].sharded
+    # monotonic: dropped axes never re-shard
+    for s in plan.shards[2:]:
+        assert not s.sharded
 
 
 @needs8
@@ -61,6 +73,27 @@ def test_distributed_matches_single_4x2():
     assert i2.res <= 1e-8
     assert abs(i2.res - i1.res) < 1e-12
     np.testing.assert_allclose(p2, p1, rtol=1e-9, atol=1e-9 * np.abs(p1).max())
+
+
+@needs8
+@pytest.mark.parametrize("comm", ["gspmd", "shard_map"])
+def test_staged_agglomeration_solve_matches_single(comm):
+    """A plan with an intermediate (single-axis) stage still reproduces the
+    single-device iterates.  Grid 64x64x16 on a 2x4 mesh stages:
+    both-axes -> both-axes -> py-only -> replicated."""
+    from mgroms_tpu.parallel import MeshPlan, make_mesh
+    mesh = make_mesh(2, 4)
+    levels = build_level_plan(64, 64, 16)
+    plan = MeshPlan.create(mesh, levels, nsmall=8)
+    flags = [(s.shard_py, s.shard_px) for s in plan.shards]
+    assert flags[0] == (True, True)
+    assert flags[2] == (False, True) or flags[2] == (True, False)
+    assert not plan.shards[3].sharded
+    p1, i1 = _solve(64, 64, 16)
+    p2, i2 = _solve(64, 64, 16, mesh_shape=(2, 4), comm=comm)
+    assert i1.niter == i2.niter
+    np.testing.assert_allclose(p2, p1, rtol=1e-9, atol=1e-9 * np.abs(p1).max())
+    np.testing.assert_allclose(i1.history, i2.history, rtol=1e-4, atol=1e-15)
 
 
 def _solve_e2e(nx, ny, nz, mesh_shape=None, comm="gspmd"):
