@@ -42,8 +42,11 @@ def test_shard_plan_deshard():
     # local nx: 64,32,16,8,4 -> de-shard when nx//npx < 8
     assert shards[0].sharded and shards[0].nx == 64
     assert shards[3].sharded          # 32//4 = 8 local, not < 8
-    assert not shards[4].sharded      # 16//4 = 4 < 8 -> replicated
-    assert not shards[5].sharded      # stays replicated
+    # staged agglomeration: 16//4 = 4 < 8 drops px only (py still 16//2=8)
+    assert shards[4].sharded and shards[4].shard_py and not shards[4].shard_px
+    assert shards[4].nx == 16 and shards[4].ny == 8
+    # 8//2 = 4 < 8 drops py too -> fully replicated, monotonic
+    assert not shards[5].sharded
 
 
 def test_shard_plan_single_device():
