@@ -128,13 +128,24 @@ def test_relax_reduces_residual():
 
 
 def test_four_color_and_gs_converge():
+    """FC and GS converge to tolerance AND at a healthy per-cycle factor.
+
+    Documented deviation (PARITY.md): the reference's GS is a sequential
+    in-place sweep; ours is a simultaneous column-Jacobi, so GS residual
+    HISTORIES cannot match the reference's — this test pins that the
+    deviation still smooths effectively (measured mean reduction on this
+    case: ~2.7x/F-cycle for column-Jacobi GS, >>10x for FC)."""
     nx = ny = nz = 16
-    for method in ("FC", "GS"):
+    for method, min_factor in (("FC", 10.0), ("GS", 2.0)):
         m = _model(nx, ny, nz, relax_method=method)
         u, v, w = initial_velocities(nx, ny, nz)
         b = m.rhs(u, v, w)
         p, info = m.pressure_solve(b, tol=1e-9, maxiter=30)
         assert info.res <= 1e-9, f"{method} failed: {info.history}"
+        hist = np.array(info.history)
+        mean_conv = (hist[0] / hist[-1]) ** (1.0 / info.niter)
+        assert mean_conv >= min_factor, (
+            f"{method} convergence factor too weak: {mean_conv}")
 
 
 def test_nearest_interp_converges():
