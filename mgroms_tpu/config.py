@@ -89,6 +89,10 @@ class SolverConfig:
     # 47.3 ms/sweep vs 61.1 for the XLA compact path at CUC level 0,
     # bitwise-identical iterates
     pallas_tiled_relax: bool = True
+    # run the tiled Pallas kernels in interpret mode on CPU backends —
+    # lets the 8-virtual-device CPU test mesh exercise the exact TPU kernel
+    # code paths (including inside shard_map local blocks); never set on TPU
+    pallas_interpret: bool = False
     # coarsest-level treatment: 'relax' (ns_coarsest smoothing sweeps,
     # reference behaviour, mg_solvers.f90:117/144) or 'direct' (multiply by
     # a precomputed dense inverse — one MXU matmul instead of ~2*ns_coarsest

@@ -139,6 +139,14 @@ class NHModel:
             ops = shard_operators_blocked(self.ops, plan)
             self.backend = ShardMapBackend(self.levels, ops, self.cfg, plan,
                                            packs=packs)
+            # sharded compact levels persist PER-SHARD packs (built inside
+            # shard_map from the blocked cA: each device keeps its tile's
+            # gather blocks + factored pivots)
+            from .parallel.shardmap_backend import shard_packs_blocked
+            spk = shard_packs_blocked(self.levels, ops, self.cfg, plan,
+                                      self.backend)
+            self.backend.packs = [s if s is not None else packs[lev]
+                                  for lev, s in enumerate(spk)]
         elif comm == "gspmd":
             ops = shard_operators(self.ops, plan)
             self.backend = DistributedBackend(self.levels, ops, self.cfg,

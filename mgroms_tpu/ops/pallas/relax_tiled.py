@@ -228,7 +228,8 @@ def _rr_one(e4: tuple, bq_t, blocks_t: tuple, d_t, ud_t, target,
 
 def residual_restrict_tiled(p: jnp.ndarray, b: jnp.ndarray,
                             pack: CompactPack, real_matrix: bool,
-                            interpret: bool = False, cA=None) -> jnp.ndarray:
+                            interpret: bool = False, cA=None,
+                            extend_fn=None) -> jnp.ndarray:
     """Coarse b = restrict(b - A p) in ONE pass over the fine level: the
     V-cycle down-leg residual is never materialized in HBM (it is consumed
     only by fine2coarse there — mg_relax.f90:337/mg_intergrids.f90:16).
@@ -236,6 +237,11 @@ def residual_restrict_tiled(p: jnp.ndarray, b: jnp.ndarray,
     The coarse cell (K, J, I) sums the 8 children = the four target quads'
     z-pair sums at (J, I); the summation tree matches transfer.restrict_3d
     ((j-pairs) then (i-pairs)) for identical rounding.
+
+    ``extend_fn`` maps the quad dict to its halo-extended form; default is
+    the single-shard physical mirror (extend_quads).  The shard_map backend
+    passes the ppermute seam exchange (parallel/exchange.extend_quads_shard)
+    so the kernel runs on per-device local blocks.
     """
     if pack is None:
         assert cA is not None, "need a CompactPack or the band stack"
@@ -243,7 +249,7 @@ def residual_restrict_tiled(p: jnp.ndarray, b: jnp.ndarray,
     assert p.shape[0] % 2 == 0, "fused residual+restrict needs even nz"
     ti = {t: i for i, t in enumerate(_TKEYS)}
     bq = split_quads(b)
-    e = extend_quads(split_quads(p))
+    e = (extend_fn or extend_quads)(split_quads(p))
     e4 = tuple(e[k] for k in _TKEYS)
     zs = {}
     for t in _TKEYS:
@@ -255,24 +261,27 @@ def residual_restrict_tiled(p: jnp.ndarray, b: jnp.ndarray,
 
 def relax_compact_tiled(p: jnp.ndarray, b: jnp.ndarray, pack: CompactPack,
                         nsweeps: int, kind: str, real_matrix: bool,
-                        interpret: bool = False, cA=None) -> jnp.ndarray:
+                        interpret: bool = False, cA=None,
+                        extend_fn=None) -> jnp.ndarray:
     """``nsweeps`` RB/FC sweeps with the tiled fused kernel per (color,
     target quad).
 
     Same iterates as ops/relax_compact.relax_compact (the kernel reuses its
     gather and factored Thomas on the same persisted pack).  Quad halo
-    extension between colors stays in XLA (cheap concats); both targets of
+    extension between colors stays in XLA (cheap concats, or the ppermute
+    seam exchange when ``extend_fn`` is the shard_map form); both targets of
     a color read the same pre-color extension.
     """
     if pack is None:
         assert cA is not None, "need a CompactPack or the band stack"
         pack = build_compact_pack(cA, real_matrix)
+    extend = extend_fn or extend_quads
     targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
     ti = {t: i for i, t in enumerate(_TKEYS)}
     bq = split_quads(b)
 
     def color_update(q, targets):
-        e = extend_quads(q)
+        e = extend(q)
         e4 = tuple(e[k] for k in _TKEYS)
         q = dict(q)
         for t in targets:

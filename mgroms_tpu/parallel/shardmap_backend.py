@@ -43,6 +43,33 @@ from .mesh import MeshPlan
 
 
 
+def shard_packs_blocked(levels: List[LevelSpec], ops_blocked, cfg,
+                        plan: MeshPlan, backend: "ShardMapBackend") -> list:
+    """Per-shard persisted CompactPacks for the SHARDED compact levels.
+
+    The single-device pack (solver.build_relax_packs) covers replicated
+    levels; sharded levels build theirs here *inside shard_map* from the
+    per-shard-extended blocked cA, so every device persists exactly its
+    tile's gather blocks + factored Thomas pivots (the same "operators
+    stored per rank" economy as the reference, mg_grids.f90:24-65).
+    Returns one pack (a sharded pytree) or None per level."""
+    from ..ops.relax_compact import build_compact_pack
+    real = cfg.cmatrix == "real"
+    packs = []
+    for lev, spec in enumerate(levels):
+        sh = plan.shards[lev]
+        if not (sh.sharded and backend._use_compact_shard(lev)):
+            packs.append(None)
+            continue
+        sp4 = plan.spec(lev, 4)
+        out_spec = plan.spec(lev, 3)     # prefix: applies to all pack leaves
+        f = jax.shard_map(lambda cA_l: build_compact_pack(cA_l, real),
+                          mesh=plan.mesh, in_specs=(sp4,),
+                          out_specs=out_spec)
+        packs.append(jax.jit(f)(ops_blocked[lev].cA))
+    return packs
+
+
 def shard_operators_blocked(ops: List[LevelOperator], plan: MeshPlan
                             ) -> List[LevelOperator]:
     """Sharded levels: cA in per-shard-extended blocked layout, one tile per
@@ -105,24 +132,58 @@ class ShardMapBackend(DistributedBackend):
         return ("py" if sh.shard_py else None,
                 "px" if sh.shard_px else None)
 
+    def _tpu_kernels(self) -> bool:
+        """Real Pallas TPU kernels, or interpret-mode on the CPU test mesh
+        (cfg.pallas_interpret exercises the same code paths)."""
+        return self.platform != "cpu" or self.cfg.pallas_interpret
+
+    def _use_tiled_shard(self, lev) -> bool:
+        """Tiled fused color-update / residual+restrict kernels on a
+        SHARDED level's local blocks (the single-device gate's per-shard
+        image; the pallas_call runs inside shard_map on each device's
+        tile)."""
+        sh = self.plan.shards[lev]
+        spec = self.levels[lev]
+        if not (self.cfg.pallas_tiled and self.cfg.pallas_tiled_relax
+                and spec.nd == 8 and self._tpu_kernels()):
+            return False
+        from ..ops.pallas.relax_tiled import supports
+        item = jnp.dtype(self.cfg.dtype).itemsize
+        return supports(spec.nzg, sh.ny // 2, sh.nx // 2, item,
+                        real_matrix=self.cfg.cmatrix == "real")
+
     def relax(self, lev, p, b, nsweeps):
         sh = self.plan.shards[lev]
         if not sh.sharded:
             return super().relax(lev, p, b, nsweeps)
         cfg = self.cfg
         use_compact = self._use_compact_shard(lev)
+        use_tiled = use_compact and self._use_tiled_shard(lev) \
+            and self.packs[lev] is not None
+        interpret = self.platform == "cpu"
         pya, pxa = self._axes(lev)
         sp3, sp4 = self.plan.spec(lev, 3), self.plan.spec(lev, 4)
 
+        def local_tiled(p_l, b_l, pack_l):
+            from ..ops.pallas.relax_tiled import relax_compact_tiled
+            from .exchange import extend_quads_shard
+            return relax_compact_tiled(
+                p_l, b_l, pack_l, nsweeps, cfg.relax_kind,
+                cfg.cmatrix == "real", interpret=interpret,
+                extend_fn=lambda q: extend_quads_shard(
+                    q, py_axis=pya, px_axis=pxa))
+
+        def local_compact(p_l, b_l, pack_l):
+            from ..ops.relax_compact import relax_compact
+            from .exchange import extend_quads_shard
+            return relax_compact(
+                p_l, b_l, None, nsweeps, cfg.relax_kind,
+                cfg.cmatrix == "real", tridiag_method=cfg.tridiag,
+                pack=pack_l,
+                extend_fn=lambda q: extend_quads_shard(
+                    q, py_axis=pya, px_axis=pxa))
+
         def local(p_l, b_l, cA_l):
-            if use_compact:
-                from ..ops.relax_compact import relax_compact
-                from .exchange import extend_quads_shard
-                return relax_compact(
-                    p_l, b_l, cA_l, nsweeps, cfg.relax_kind,
-                    cfg.cmatrix == "real", tridiag_method=cfg.tridiag,
-                    extend_fn=lambda q: extend_quads_shard(
-                        q, py_axis=pya, px_axis=pxa))
             j0, i0 = axis_offsets(sh.ny, sh.nx, pya, pxa)
             return relax_ops.relax(
                 p_l, b_l, cA_l, nsweeps, cfg.relax_kind,
@@ -130,27 +191,105 @@ class ShardMapBackend(DistributedBackend):
                 extend_fn=lambda x: halo_extend(x, pya, pxa),
                 j0=j0, i0=i0, tridiag_method=cfg.tridiag)
 
+        if use_compact and self.packs[lev] is not None:
+            # check_vma=False: pallas_call inside shard_map would need
+            # vma-annotated out_shapes otherwise
+            f = jax.shard_map(local_tiled if use_tiled else local_compact,
+                              mesh=self.plan.mesh,
+                              in_specs=(sp3, sp3, sp3), out_specs=sp3,
+                              check_vma=False)
+            return f(p, b, self.packs[lev])
+        if use_compact:
+            # no persisted pack (direct backend construction in tests):
+            # build it per call from the local band tile
+            def local_compact_ca(p_l, b_l, cA_l):
+                from ..ops.relax_compact import relax_compact
+                from .exchange import extend_quads_shard
+                return relax_compact(
+                    p_l, b_l, cA_l, nsweeps, cfg.relax_kind,
+                    cfg.cmatrix == "real", tridiag_method=cfg.tridiag,
+                    extend_fn=lambda q: extend_quads_shard(
+                        q, py_axis=pya, px_axis=pxa))
+            f = jax.shard_map(local_compact_ca, mesh=self.plan.mesh,
+                              in_specs=(sp3, sp3, sp4), out_specs=sp3)
+            return f(p, b, self.ops[lev].cA)
         f = jax.shard_map(local, mesh=self.plan.mesh,
                           in_specs=(sp3, sp3, sp4),
                           out_specs=sp3)
         return f(p, b, self.ops[lev].cA)
 
     # -- residual -------------------------------------------------------------
+    def _use_tiled_residual_shard(self, lev) -> bool:
+        sh = self.plan.shards[lev]
+        spec = self.levels[lev]
+        if not (self.cfg.pallas_tiled and spec.nd == 8
+                and self._tpu_kernels()):
+            return False
+        # per-call kernel overhead beats the fusion gain on small tiles
+        # (same gate as the single-device path, solver._use_tiled)
+        if self.platform != "cpu" and sh.nx < 256:
+            return False
+        from ..ops.pallas.stencil_tiled import supports
+        item = jnp.dtype(self.cfg.dtype).itemsize
+        return supports(spec.nzg, sh.ny, sh.nx, item)
+
     def residual(self, lev, p, b):
         if not self.plan.shards[lev].sharded:
             return super().residual(lev, p, b)
         real = self.cfg.cmatrix == "real"
+        use_tiled = self._use_tiled_residual_shard(lev)
+        interpret = self.platform == "cpu"
         pya, pxa = self._axes(lev)
         sp3, sp4 = self.plan.spec(lev, 3), self.plan.spec(lev, 4)
 
         def local(p_l, b_l, cA_l):
-            return stencil.residual(halo_extend(p_l, pya, pxa), b_l, cA_l,
-                                    real)
+            pe = halo_extend(p_l, pya, pxa)
+            if use_tiled:
+                from ..ops.pallas.stencil_tiled import residual_tiled
+                return residual_tiled(pe, b_l, cA_l, real,
+                                      interpret=interpret)
+            return stencil.residual(pe, b_l, cA_l, real)
 
         f = jax.shard_map(local, mesh=self.plan.mesh,
                           in_specs=(sp3, sp3, sp4),
-                          out_specs=sp3)
+                          out_specs=sp3, check_vma=not use_tiled)
         return f(p, b, self.ops[lev].cA)
+
+    def residual_restrict(self, lev, p, b):
+        """Fused residual+restrict on the sharded levels' local blocks when
+        the coarse level keeps the same active axes (children of a local
+        coarse tile are exactly the local fine tile).  Stage transitions
+        and replicated levels fall back to the parent implementation."""
+        shf, shc = self.plan.shards[lev], self.plan.shards[lev + 1]
+        spec = self.levels[lev]
+        ok = (shf.sharded and shc.sharded
+              and shf.shard_py == shc.shard_py
+              and shf.shard_px == shc.shard_px
+              and not self.levels[lev + 1].aggressive_from_prev
+              and spec.nzg % 2 == 0
+              and self._use_compact_shard(lev)
+              and self._use_tiled_shard(lev)
+              and self.packs[lev] is not None)
+        if not ok:
+            return super().residual_restrict(lev, p, b)
+        real = self.cfg.cmatrix == "real"
+        interpret = self.platform == "cpu"
+        pya, pxa = self._axes(lev)
+        sp3 = self.plan.spec(lev, 3)
+
+        def local(p_l, b_l, pack_l):
+            from ..ops.pallas.relax_tiled import residual_restrict_tiled
+            from .exchange import extend_quads_shard
+            return residual_restrict_tiled(
+                p_l, b_l, pack_l, real, interpret=interpret,
+                extend_fn=lambda q: extend_quads_shard(
+                    q, py_axis=pya, px_axis=pxa))
+
+        f = jax.shard_map(local, mesh=self.plan.mesh,
+                          in_specs=(sp3, sp3, sp3),
+                          out_specs=self.plan.spec(lev + 1, 3),
+                          check_vma=False)
+        return f(p, b, self.packs[lev])
 
     # -- transfers ------------------------------------------------------------
     # restrict: the 8-child sum is shard-local (children of a local coarse

@@ -52,16 +52,21 @@ def main():
         p = jnp.zeros(shape, dt)
         b = jnp.ones(shape, dt)
 
+        # the backend rides in the CARRY, never in a closure: closed-over
+        # operator arrays become multi-GB HLO constants (minutes of remote
+        # compile; see CLAUDE.md).  The timer's final |leaf| sum then also
+        # covers the operator arrays — a constant cost present in both the
+        # n=1 and n=N runs, removed by the subtraction.
         t_sweep = time_device_fn(
-            lambda c: (be.relax(lev, c[0], c[1], 1), c[1]), (p, b),
-            iters=args.iters)
+            lambda c: (c[0], c[0].relax(lev, c[1], c[2], 1), c[2]),
+            (be, p, b), iters=args.iters)
         t_res = time_device_fn(
-            lambda c: (be.residual(lev, c[0], c[1]), c[1]), (p, b),
-            iters=args.iters)
+            lambda c: (c[0], c[0].residual(lev, c[1], c[2]), c[2]),
+            (be, p, b), iters=args.iters)
         t_rr = time_device_fn(
-            lambda c: (be.prolong(lev, be.residual_restrict(lev, c[0], c[1])),
-                       c[1]),
-            (p, b), iters=args.iters)
+            lambda c: (c[0], c[0].prolong(
+                lev, c[0].residual_restrict(lev, c[1], c[2])), c[2]),
+            (be, p, b), iters=args.iters)
         rows.append({
             "lev": lev, "shape": list(shape),
             "sweep_ms": round(t_sweep * 1e3, 2),

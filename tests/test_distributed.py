@@ -96,6 +96,35 @@ def test_staged_agglomeration_solve_matches_single(comm):
     np.testing.assert_allclose(i1.history, i2.history, rtol=1e-4, atol=1e-15)
 
 
+@needs8
+def test_shardmap_tiled_kernels_match_single():
+    """The tiled Pallas kernels (fused color update + fused residual+
+    restrict) running INSIDE shard_map local blocks (interpret mode on the
+    CPU mesh, the exact TPU kernel code path) reproduce the single-device
+    solve.  32x32x16 on a 2x2 mesh: level 0 tiles (16x16) take the tiled
+    path, level 1 the per-shard compact-pack path, coarser replicated."""
+    m = NHModel(32, 32, 16, cfg=SolverConfig(pallas_interpret=True))
+    c = setup_seamount(32, 32, 16)
+    m.set_matrices(c.dx, c.dy, c.zeta, c.h, hc=c.hc,
+                   theta_b=c.theta_b, theta_s=c.theta_s)
+    m.distribute(2, 2, comm="shard_map")
+    be = m.backend
+    # the gates this test exists to pin: level 0 must actually run the
+    # tiled kernels on per-shard packs
+    assert be._use_compact_shard(0) and be._use_tiled_shard(0)
+    assert be.packs[0] is not None
+    assert be.plan.shards[1].sharded and not be._use_tiled_shard(1)
+    assert be.packs[1] is not None
+    u, v, w = initial_velocities(32, 32, 16)
+    b = m.rhs(u, v, w)
+    p2, i2 = m.pressure_solve(b, tol=1e-10, maxiter=12)
+    p1, i1 = _solve(32, 32, 16)
+    assert i1.niter == i2.niter
+    np.testing.assert_allclose(np.asarray(p2), p1, rtol=1e-9,
+                               atol=1e-9 * np.abs(p1).max())
+    np.testing.assert_allclose(i1.history, i2.history, rtol=1e-4, atol=1e-15)
+
+
 def _solve_e2e(nx, ny, nz, mesh_shape=None, comm="gspmd"):
     m = NHModel(nx, ny, nz, cfg=SolverConfig())
     c = setup_seamount(nx, ny, nz)
