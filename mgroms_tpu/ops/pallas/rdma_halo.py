@@ -49,7 +49,9 @@ def _kernel(p_ref, b_ref, cA_ref, out_ref, comm_ref, send_sem, recv_sem,
             *, real_matrix: bool, px_name: str, py_name: str):
     npx = lax.axis_size(px_name)
     my = lax.axis_index(px_name)
-    pyi = lax.axis_index(py_name)
+    # flat LOGICAL device id (row-major over the (py, px) mesh; LOGICAL
+    # ids must be scalars, not mesh-coordinate tuples)
+    base = lax.axis_index(py_name) * npx
     nxl = p_ref.shape[-1]
 
     # -- 1. launch seam RDMA (comm slot 0 = my west halo, 1 = my east) ----
@@ -59,7 +61,7 @@ def _kernel(p_ref, b_ref, cA_ref, out_ref, comm_ref, send_sem, recv_sem,
         pltpu.make_async_remote_copy(
             src_ref=p_ref.at[:, :, nxl - 1:nxl], dst_ref=comm_ref.at[0],
             send_sem=send_sem.at[0], recv_sem=recv_sem.at[0],
-            device_id=(pyi, my + 1),
+            device_id=base + my + 1,
             device_id_type=pltpu.DeviceIdType.LOGICAL).start()
 
     @pl.when(my > 0)
@@ -68,7 +70,7 @@ def _kernel(p_ref, b_ref, cA_ref, out_ref, comm_ref, send_sem, recv_sem,
         pltpu.make_async_remote_copy(
             src_ref=p_ref.at[:, :, 0:1], dst_ref=comm_ref.at[1],
             send_sem=send_sem.at[1], recv_sem=recv_sem.at[1],
-            device_id=(pyi, my - 1),
+            device_id=base + my - 1,
             device_id_type=pltpu.DeviceIdType.LOGICAL).start()
 
     # -- 2. interior columns [1, nxl-1): all reads local; the RDMA is in
@@ -86,7 +88,7 @@ def _kernel(p_ref, b_ref, cA_ref, out_ref, comm_ref, send_sem, recv_sem,
         pltpu.make_async_remote_copy(
             src_ref=p_ref.at[:, :, nxl - 1:nxl], dst_ref=comm_ref.at[0],
             send_sem=send_sem.at[0], recv_sem=recv_sem.at[0],
-            device_id=(pyi, my),
+            device_id=base + my,
             device_id_type=pltpu.DeviceIdType.LOGICAL).wait_recv()
 
     @pl.when(my < npx - 1)
@@ -94,7 +96,7 @@ def _kernel(p_ref, b_ref, cA_ref, out_ref, comm_ref, send_sem, recv_sem,
         pltpu.make_async_remote_copy(
             src_ref=p_ref.at[:, :, 0:1], dst_ref=comm_ref.at[1],
             send_sem=send_sem.at[1], recv_sem=recv_sem.at[1],
-            device_id=(pyi, my),
+            device_id=base + my,
             device_id_type=pltpu.DeviceIdType.LOGICAL).wait_recv()
 
     halo_w = jnp.where(my > 0, comm_ref[0], p[:, :, 0:1])      # mirror at
@@ -113,7 +115,7 @@ def _kernel(p_ref, b_ref, cA_ref, out_ref, comm_ref, send_sem, recv_sem,
         pltpu.make_async_remote_copy(
             src_ref=p_ref.at[:, :, nxl - 1:nxl], dst_ref=comm_ref.at[0],
             send_sem=send_sem.at[0], recv_sem=recv_sem.at[0],
-            device_id=(pyi, my),
+            device_id=base + my,
             device_id_type=pltpu.DeviceIdType.LOGICAL).wait_send()
 
     @pl.when(my > 0)
@@ -121,7 +123,7 @@ def _kernel(p_ref, b_ref, cA_ref, out_ref, comm_ref, send_sem, recv_sem,
         pltpu.make_async_remote_copy(
             src_ref=p_ref.at[:, :, 0:1], dst_ref=comm_ref.at[1],
             send_sem=send_sem.at[1], recv_sem=recv_sem.at[1],
-            device_id=(pyi, my),
+            device_id=base + my,
             device_id_type=pltpu.DeviceIdType.LOGICAL).wait_send()
 
 
