@@ -247,9 +247,20 @@ def residual_restrict_tiled(p: jnp.ndarray, b: jnp.ndarray,
         assert cA is not None, "need a CompactPack or the band stack"
         pack = build_compact_pack(cA, real_matrix)
     assert p.shape[0] % 2 == 0, "fused residual+restrict needs even nz"
+    return residual_restrict_tiled_quads(split_quads(p), split_quads(b),
+                                         pack, real_matrix,
+                                         interpret=interpret,
+                                         extend_fn=extend_fn)
+
+
+def residual_restrict_tiled_quads(q, bq, pack: CompactPack,
+                                  real_matrix: bool, interpret: bool = False,
+                                  extend_fn=None) -> jnp.ndarray:
+    """Quad-native form of :func:`residual_restrict_tiled` (quad state in,
+    FULL coarse array out — the four targets' z-pair sums at (J, I) are the
+    8 children of coarse cell (K, J, I))."""
     ti = {t: i for i, t in enumerate(_TKEYS)}
-    bq = split_quads(b)
-    e = (extend_fn or extend_quads)(split_quads(p))
+    e = (extend_fn or extend_quads)(q)
     e4 = tuple(e[k] for k in _TKEYS)
     zs = {}
     for t in _TKEYS:
@@ -275,10 +286,20 @@ def relax_compact_tiled(p: jnp.ndarray, b: jnp.ndarray, pack: CompactPack,
     if pack is None:
         assert cA is not None, "need a CompactPack or the band stack"
         pack = build_compact_pack(cA, real_matrix)
+    q = relax_compact_tiled_quads(split_quads(p), split_quads(b), pack,
+                                  nsweeps, kind, real_matrix,
+                                  interpret=interpret, extend_fn=extend_fn)
+    return merge_quads(q)
+
+
+def relax_compact_tiled_quads(q0, bq, pack: CompactPack, nsweeps: int,
+                              kind: str, real_matrix: bool,
+                              interpret: bool = False, extend_fn=None):
+    """Quad-native core of :func:`relax_compact_tiled` (state in/out in
+    quad-parity layout — the quad-persistent V-cycle path)."""
     extend = extend_fn or extend_quads
     targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
     ti = {t: i for i, t in enumerate(_TKEYS)}
-    bq = split_quads(b)
 
     def color_update(q, targets):
         e = extend(q)
@@ -296,16 +317,15 @@ def relax_compact_tiled(p: jnp.ndarray, b: jnp.ndarray, pack: CompactPack,
             q = color_update(q, targets)
         return q
 
-    q0 = split_quads(p)
     if nsweeps <= 1:
-        q = q0
+        q = dict(q0)
         for _ in range(nsweeps):
             q = sweep(q)
-        return merge_quads(q)
+        return q
 
     def body(i, flat):
         q = sweep(dict(zip(_TKEYS, flat)))
         return tuple(q[k] for k in _TKEYS)
 
     flat = jax.lax.fori_loop(0, nsweeps, body, tuple(q0[k] for k in _TKEYS))
-    return merge_quads(dict(zip(_TKEYS, flat)))
+    return dict(zip(_TKEYS, flat))

@@ -47,6 +47,53 @@ def split_quads(x: jnp.ndarray) -> Quads:
     return {(a, b): x[:, a::2, b::2] for a in (0, 1) for b in (0, 1)}
 
 
+@jax.tree_util.register_pytree_node_class
+class QuadField:
+    """A level state persisted in quad-parity layout across the V-cycle.
+
+    The profile that motivates this (scripts/profile_pieces.py, CUC level 0
+    on v5e): the compact smoother's actual sweep costs ~14 ms but each
+    relax CALL paid ~30 ms more in split_quads/merge_quads, and prolong
+    paid ~150 ms in minor-axis interleave matmuls.  Keeping the state in
+    quads between operations removes every interleave from the cycle hot
+    path; merging back to the full array happens once per F-cycle at the
+    fine level (solver.fcycle boundary).
+
+    Supports ``+`` (the prolongation's additive correction,
+    mg_intergrids.f90:224-226) elementwise per quad.
+    """
+
+    __slots__ = ("quads",)
+
+    def __init__(self, quads):
+        self.quads = tuple(quads)          # _TKEYS order
+
+    def tree_flatten(self):
+        return self.quads, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
+
+    def __add__(self, other):
+        return QuadField(tuple(a + b for a, b in
+                               zip(self.quads, other.quads)))
+
+    def asdict(self) -> Quads:
+        return dict(zip(_TKEYS, self.quads))
+
+    @classmethod
+    def fromdict(cls, q: Quads) -> "QuadField":
+        return cls(tuple(q[t] for t in _TKEYS))
+
+    @classmethod
+    def split(cls, x: jnp.ndarray) -> "QuadField":
+        return cls.fromdict(split_quads(x))
+
+    def merge(self) -> jnp.ndarray:
+        return merge_quads(self.asdict())
+
+
 def merge_quads(q: Quads) -> jnp.ndarray:
     """Inverse of :func:`split_quads` — sublane stack in y at half width,
     MXU one-hot scatter in x (see ops/transfer._interleave layout notes)."""
@@ -269,17 +316,33 @@ def relax_compact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
     ``pack`` is the persisted gather-block operator; if absent it is built
     here (one extra HBM pass, fine for tests / per-call shard_map use).
     """
-    extend = extend_fn or extend_quads
     nz, ny, nx = p.shape
     assert ny % 2 == 0 and nx % 2 == 0, "compact relax needs even ny, nx"
-    targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
     if pack is None:
         pack = build_compact_pack(cA, real_matrix)
-    ti = {t: i for i, t in enumerate(_TKEYS)}
+    q = relax_compact_quads(split_quads(p), split_quads(b), pack, nsweeps,
+                            kind, real_matrix,
+                            tridiag_method=tridiag_method,
+                            extend_fn=extend_fn)
+    return merge_quads(q)
 
-    bq = split_quads(b)
+
+def relax_compact_quads(q0: Quads, bq: Quads, pack: CompactPack,
+                        nsweeps: int, kind: str, real_matrix: bool,
+                        tridiag_method: str = "thomas",
+                        extend_fn=None) -> Quads:
+    """Quad-native core of :func:`relax_compact`: state in, state out in
+    quad-parity layout — no split/merge (the quad-persistent V-cycle path,
+    solver.fcycle)."""
+    extend = extend_fn or extend_quads
+    targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
+    ti = {t: i for i, t in enumerate(_TKEYS)}
+    nz = q0[(0, 0)].shape[0]
+    W = q0[(0, 0)].shape[2]
+    dt = q0[(0, 0)].dtype
+
     k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-          ).astype(p.dtype) if real_matrix else None
+          ).astype(dt) if real_matrix else None
 
     def color_update(q: Quads, targets) -> Quads:
         e = extend(q)
@@ -297,7 +360,6 @@ def relax_compact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
             sol = tridiag_factored(cat(pack.bet), cat(pack.gam),
                                    cat(pack.ud), r)
         q = dict(q)
-        W = p.shape[2] // 2
         for n, t in enumerate(targets):
             q[t] = sol[..., n * W:(n + 1) * W]
         return q
@@ -307,13 +369,12 @@ def relax_compact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
             q = color_update(q, targets)
         return q
 
-    q0 = split_quads(p)
     keys = sorted(q0)
     if nsweeps <= 1:
-        q = q0
+        q = dict(q0)
         for _ in range(nsweeps):
             q = sweep(q)
-        return merge_quads(q)
+        return q
 
     def body(i, flat):
         q = sweep(dict(zip(keys, flat)))
@@ -321,4 +382,43 @@ def relax_compact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
 
     flat = jax.lax.fori_loop(0, nsweeps, body,
                              tuple(q0[k] for k in keys))
-    return merge_quads(dict(zip(keys, flat)))
+    return dict(zip(keys, flat))
+
+
+def residual_quads(q: Quads, bq: Quads, pack: CompactPack,
+                   real_matrix: bool, extend_fn=None) -> Quads:
+    """r = b - A p with state and result in quad-parity layout.
+
+    Term for term (and bitwise) ops/stencil.residual in quad form: the same
+    gather order, the same in-column diagonal/vertical handling (zero-padded
+    k-shifts).  Shared by the quad-persistent V-cycle's XLA fallback and
+    mirrored by the Pallas ``_rr_kernel``."""
+    e = (extend_fn or extend_quads)(q)
+    nz = bq[(0, 0)].shape[0]
+    dt = bq[(0, 0)].dtype
+    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
+          ).astype(dt) if real_matrix else None
+    ti = {t: i for i, t in enumerate(_TKEYS)}
+    out = {}
+    for t in _TKEYS:
+        m = ti[t]
+        pq = e[t][:, 1:-1, 1:-1]
+        ud = pack.ud[m]
+        z1 = jnp.zeros_like(ud[:1])
+        lo2 = jnp.concatenate([z1, ud], axis=0)   # cA2(k),   couples p(k-1)
+        hi2 = jnp.concatenate([ud, z1], axis=0)   # cA2(k+1), couples p(k+1)
+        out[t] = (bq[t]
+                  - pack.d[m] * pq
+                  - lo2 * _kshift(pq, -1)
+                  - hi2 * _kshift(pq, 1)
+                  - gather_blocks(e, pack.blocks[m], t[0], t[1],
+                                  real_matrix, k0))
+    return out
+
+
+def restrict_quads_to_full(rq: Quads) -> jnp.ndarray:
+    """Coarse = sum of 8 children with the residual given in quads — the
+    exact summation tree of transfer.restrict_3d (z-pairs, then j-pairs,
+    then i-pairs) for identical rounding."""
+    t1 = {t: rq[t][0::2] + rq[t][1::2] for t in _TKEYS}
+    return (t1[(0, 0)] + t1[(1, 0)]) + (t1[(0, 1)] + t1[(1, 1)])

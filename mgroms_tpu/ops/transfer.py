@@ -170,22 +170,55 @@ def prolong_2d_nearest(xce: jnp.ndarray) -> jnp.ndarray:
     return _interleave(xy, xy, axis=-1)
 
 
+def prolong_3d_linear_quads(xce: jnp.ndarray):
+    """Trilinear prolongation emitting the fine field in QUAD-PARITY layout:
+    ``{(t, s): V[t, s]}`` — the fine child at horizontal parity (t, s) IS
+    the (t, s) quad, so the whole y/x interleave stage of
+    :func:`prolong_3d_linear` (the ~150 ms minor-axis scatter matmuls at
+    CUC level 0, scripts/profile_pieces.py) simply vanishes.  Values are
+    bitwise those of the full-array form."""
+    H = _bilinear_combos(xce)
+
+    def vprofile(Hc: jnp.ndarray) -> jnp.ndarray:
+        ev = jnp.concatenate(
+            [Hc[0:1], 0.75 * Hc[1:] + 0.25 * Hc[:-1]], axis=0)
+        od = jnp.concatenate(
+            [0.75 * Hc[:-1] + 0.25 * Hc[1:], 0.5 * Hc[-1:]], axis=0)
+        return _interleave(ev, od, axis=0)      # z is major: layout-free
+
+    return {ts: vprofile(Hc) for ts, Hc in H.items()}
+
+
+def prolong_3d_nearest_quads(xce: jnp.ndarray):
+    """8-way injection in quad layout: every quad is the z-doubled coarse
+    field (coarse2fine_3D_nearest, mg_intergrids.f90:336-363)."""
+    xc = xce[..., 1:-1, 1:-1]
+    xz = _interleave(xc, xc, axis=0)
+    return {(t, s): xz for t in (0, 1) for s in (0, 1)}
+
+
 def prolong(xce: jnp.ndarray, fine_nz: int, interp_type: str,
-            aggressive: bool = False) -> jnp.ndarray:
+            aggressive: bool = False, as_quads: bool = False):
     """Dispatch (coarse2fine, mg_intergrids.f90:196-222).  ``fine_nz`` is the
-    target level's nz (2-D fine levels use the 2-D kernels)."""
+    target level's nz (2-D fine levels use the 2-D kernels).  With
+    ``as_quads`` the 3-D result is returned as the quad dict
+    ``{(y-parity, x-parity): (fine_nz, nyc, nxc)}`` instead of interleaved."""
     if aggressive:
         # parity with coarse2fine_aggressive (mg_intergrids.f90:231-247):
         # the reference stops with an error here as well
         raise NotImplementedError("aggressive prolongation not available "
                                   "(parity with mg_intergrids.f90:243-244)")
     if fine_nz == 1:
+        assert not as_quads, "2-D levels are never quad-persistent"
         if interp_type == "linear":
             return prolong_2d_linear(xce)
         return prolong_2d_nearest(xce)
     # 3-D kernels; nzc == 1 (fine nz == 2 over a 2-D coarse level) falls out
     # of the same code path, matching the reference dispatch at :202-218
     assert xce.shape[0] * 2 == fine_nz
+    if as_quads:
+        return (prolong_3d_linear_quads(xce) if interp_type == "linear"
+                else prolong_3d_nearest_quads(xce))
     if interp_type == "linear":
         return prolong_3d_linear(xce)
     return prolong_3d_nearest(xce)

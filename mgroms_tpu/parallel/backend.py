@@ -93,19 +93,23 @@ class DistributedBackend(SingleDeviceBackend):
     def residual(self, lev, p, b):
         return self.plan.constrain(lev, super().residual(lev, p, b))
 
-    def restrict(self, lev, r):
+    def restrict(self, lev, r, as_quads: bool = False):
         # the transition level's constraint IS the agglomeration collective
-        return self.plan.constrain(lev + 1, super().restrict(lev, r))
-
-    def residual_restrict(self, lev, p, b):
         return self.plan.constrain(
-            lev + 1, super().residual_restrict(lev, p, b))
+            lev + 1, super().restrict(lev, r, as_quads=as_quads))
 
-    def prolong(self, lev, pc):
-        return self.plan.constrain(lev, super().prolong(lev, pc))
+    def residual_restrict(self, lev, p, b, as_quads: bool = False):
+        return self.plan.constrain(
+            lev + 1, super().residual_restrict(lev, p, b,
+                                               as_quads=as_quads))
 
-    def zeros(self, lev):
-        return self.plan.constrain(lev, super().zeros(lev))
+    def prolong(self, lev, pc, as_quads: bool = False):
+        return self.plan.constrain(
+            lev, super().prolong(lev, pc, as_quads=as_quads))
+
+    def zeros(self, lev, as_quads: bool = False):
+        return self.plan.constrain(lev,
+                                   super().zeros(lev, as_quads=as_quads))
 
 
 jax.tree_util.register_pytree_node(

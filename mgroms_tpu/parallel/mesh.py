@@ -70,7 +70,9 @@ class MeshPlan:
         return NamedSharding(self.mesh, self.spec(lev, ndim))
 
     def constrain(self, lev: int, x):
-        """Pin an array to its level's distribution (the GSPMD equivalent
-        of the reference's per-level communicator choice)."""
-        return jax.lax.with_sharding_constraint(
-            x, self.sharding(lev, x.ndim))
+        """Pin an array (or a pytree state, e.g. a quad-persistent
+        QuadField) to its level's distribution (the GSPMD equivalent of the
+        reference's per-level communicator choice)."""
+        return jax.tree.map(
+            lambda leaf: jax.lax.with_sharding_constraint(
+                leaf, self.sharding(lev, leaf.ndim)), x)

@@ -255,7 +255,7 @@ class ShardMapBackend(DistributedBackend):
                           out_specs=sp3, check_vma=not use_tiled)
         return f(p, b, self.ops[lev].cA)
 
-    def residual_restrict(self, lev, p, b):
+    def residual_restrict(self, lev, p, b, as_quads: bool = False):
         """Fused residual+restrict on the sharded levels' local blocks when
         the coarse level keeps the same active axes (children of a local
         coarse tile are exactly the local fine tile).  Stage transitions
@@ -271,7 +271,9 @@ class ShardMapBackend(DistributedBackend):
               and self._use_tiled_shard(lev)
               and self.packs[lev] is not None)
         if not ok:
-            return super().residual_restrict(lev, p, b)
+            return super().residual_restrict(lev, p, b, as_quads=as_quads)
+        assert not as_quads, "sharded coarse levels are never quad-persistent"
+
         real = self.cfg.cmatrix == "real"
         interpret = self.platform == "cpu"
         pya, pxa = self._axes(lev)
@@ -298,14 +300,16 @@ class ShardMapBackend(DistributedBackend):
     # axis drop) is one all-gather over that axis — keep the parent
     # implementation with its per-level constraint.
 
-    def prolong(self, lev, pc):
+    def prolong(self, lev, pc, as_quads: bool = False):
         shf, shc = self.plan.shards[lev], self.plan.shards[lev + 1]
         if not (shf.sharded and shc.sharded
                 and shf.shard_py == shc.shard_py
                 and shf.shard_px == shc.shard_px):
             # replicated coarse level, or a stage transition (different
             # active axes): the GSPMD path inserts the re-shard collective
-            return super().prolong(lev, pc)
+            return super().prolong(lev, pc, as_quads=as_quads)
+        assert not as_quads, "sharded fine levels are never quad-persistent"
+
         nz_f = self.levels[lev].nzg
         interp = self.cfg.interp_type
         aggressive = self.levels[lev + 1].aggressive_from_prev

@@ -129,7 +129,50 @@ class SingleDeviceBackend:
         (the distributed backend overrides this for sharded levels)."""
         return compact_eligible(self.levels[lev], self.cfg, self.platform)
 
+    # -- quad-persistent state (see ops/relax_compact.QuadField) -----------
+    def state_quads(self, lev: int) -> bool:
+        """Levels whose V-cycle state stays in quad-parity layout (no
+        split/merge/interleave between consecutive compact-smoother ops).
+        The coarsest level is excluded (its relax may be the dense direct
+        solve / plain path on tiny arrays)."""
+        return lev < self.nlevs - 1 and self._use_compact(lev)
+
+    def to_state(self, lev: int, x):
+        """Full array -> this level's canonical cycle state."""
+        from .ops.relax_compact import QuadField
+        if self.state_quads(lev) and not isinstance(x, QuadField):
+            return QuadField.split(x)
+        return x
+
+    def to_full(self, lev: int, x):
+        from .ops.relax_compact import QuadField
+        return x.merge() if isinstance(x, QuadField) else x
+
+    def _relax_quads(self, lev: int, p, b, nsweeps: int):
+        """Quad-native smoothing (p, b are QuadFields)."""
+        from .ops.relax_compact import QuadField, build_compact_pack
+        pack = self.packs[lev]
+        if pack is None:
+            pack = build_compact_pack(self.ops[lev].cA,
+                                      self.cfg.cmatrix == "real")
+        if self._use_tiled(lev, kind="relax"):
+            from .ops.pallas.relax_tiled import relax_compact_tiled_quads
+            q = relax_compact_tiled_quads(
+                p.asdict(), b.asdict(), pack, nsweeps, self.cfg.relax_kind,
+                self.cfg.cmatrix == "real",
+                interpret=self.platform == "cpu")
+        else:
+            from .ops.relax_compact import relax_compact_quads
+            q = relax_compact_quads(
+                p.asdict(), b.asdict(), pack, nsweeps, self.cfg.relax_kind,
+                self.cfg.cmatrix == "real",
+                tridiag_method=self.cfg.tridiag)
+        return QuadField.fromdict(q)
+
     def relax(self, lev: int, p, b, nsweeps: int):
+        from .ops.relax_compact import QuadField
+        if isinstance(p, QuadField):
+            return self._relax_quads(lev, p, b, nsweeps)
         spec = self.levels[lev]
         if (lev == self.nlevs - 1 and self.cfg.coarsest == "direct"
                 and self.ops[lev].Ainv is not None):
@@ -205,42 +248,86 @@ class SingleDeviceBackend:
                                 self.cfg.cmatrix == "real")
 
     # -- transfers ---------------------------------------------------------
-    def restrict(self, lev: int, r):
-        """grid(lev)%r -> grid(lev+1)%b (fine2coarse, mg_intergrids.f90:16)."""
+    def restrict(self, lev: int, r, as_quads: bool = False):
+        """grid(lev)%r -> grid(lev+1)%b (fine2coarse, mg_intergrids.f90:16).
+        ``r`` may be a QuadField (quad-persistent levels); ``as_quads``
+        returns the coarse b in level lev+1's quad layout."""
+        from .ops.relax_compact import QuadField, restrict_quads_to_full
         aggressive = self.levels[lev + 1].aggressive_from_prev
-        return transfer.restrict(r, aggressive=aggressive)
+        if isinstance(r, QuadField):
+            if aggressive:
+                # z-only 8:1 coarsening: quads are independent in (y, x)
+                out = QuadField(tuple(
+                    transfer.restrict_aggressive(qq) for qq in r.quads))
+                return out if as_quads else out.merge()
+            full = restrict_quads_to_full(r.asdict())
+        else:
+            full = transfer.restrict(r, aggressive=aggressive)
+        return QuadField.split(full) if as_quads else full
 
-    def residual_restrict(self, lev: int, p, b):
+    def residual_restrict(self, lev: int, p, b, as_quads: bool = False):
         """Coarse b = restrict(b - A p) — the V-cycle down-leg pair
         (compute_residual + fine2coarse, mg_solvers.f90:137-140).  On TPU
         compact levels the pair fuses into one Pallas pass and the fine
         residual never touches HBM."""
+        from .ops.relax_compact import (QuadField, build_compact_pack,
+                                        residual_quads)
         spec = self.levels[lev]
+        if isinstance(p, QuadField):
+            pack = self.packs[lev]
+            if pack is None:
+                pack = build_compact_pack(self.ops[lev].cA,
+                                          self.cfg.cmatrix == "real")
+            if (not self.levels[lev + 1].aggressive_from_prev
+                    and spec.nzg % 2 == 0
+                    and self._use_tiled(lev, kind="relax")):
+                from .ops.pallas.relax_tiled import \
+                    residual_restrict_tiled_quads
+                full = residual_restrict_tiled_quads(
+                    p.asdict(), b.asdict(), pack,
+                    self.cfg.cmatrix == "real",
+                    interpret=self.platform == "cpu")
+                return QuadField.split(full) if as_quads else full
+            rq = QuadField.fromdict(residual_quads(
+                p.asdict(), b.asdict(), pack, self.cfg.cmatrix == "real"))
+            return self.restrict(lev, rq, as_quads=as_quads)
         if (not self.levels[lev + 1].aggressive_from_prev
                 and spec.nzg % 2 == 0
                 and self._use_compact(lev)
                 and self._use_tiled(lev, kind="relax")):
             from .ops.pallas.relax_tiled import residual_restrict_tiled
-            return residual_restrict_tiled(p, b, self.packs[lev],
+            full = residual_restrict_tiled(p, b, self.packs[lev],
                                            self.cfg.cmatrix == "real",
                                            interpret=self.platform == "cpu",
                                            cA=self.ops[lev].cA)
-        return self.restrict(lev, self.residual(lev, p, b))
+            return QuadField.split(full) if as_quads else full
+        return self.restrict(lev, self.residual(lev, p, b),
+                             as_quads=as_quads)
 
-    def prolong(self, lev: int, pc):
-        """grid(lev+1)%p -> correction on lev (coarse2fine, :167-228)."""
+    def prolong(self, lev: int, pc, as_quads: bool = False):
+        """grid(lev+1)%p -> correction on lev (coarse2fine, :167-228).
+        ``pc`` may be a QuadField; ``as_quads`` emits the fine correction in
+        quad layout (no interleave — transfer.prolong_3d_linear_quads)."""
+        from .ops.relax_compact import QuadField
         aggressive = self.levels[lev + 1].aggressive_from_prev
-        pce = self.extend(lev + 1, pc)
-        return transfer.prolong(pce, self.levels[lev].nzg,
-                                self.cfg.interp_type, aggressive=aggressive)
+        pce = self.extend(lev + 1, self.to_full(lev + 1, pc))
+        out = transfer.prolong(pce, self.levels[lev].nzg,
+                               self.cfg.interp_type, aggressive=aggressive,
+                               as_quads=as_quads)
+        return QuadField.fromdict(out) if as_quads else out
 
     # -- reductions --------------------------------------------------------
     def norm_sq(self, lev: int, x) -> jnp.ndarray:
         return jnp.sum(x * x)
 
-    def zeros(self, lev: int):
+    def zeros(self, lev: int, as_quads: bool = False):
         s = self.levels[lev]
         dt = self.ops[lev].cA.dtype
+        if as_quads:
+            from .ops.relax_compact import QuadField
+            return QuadField(tuple(
+                jnp.zeros((s.nzg, s.nyg // 2, s.nxg // 2), dtype=dt)
+                for _ in range(4)))
         return jnp.zeros((s.nzg, s.nyg, s.nxg), dtype=dt)
 
 
@@ -250,6 +337,14 @@ jax.tree_util.register_pytree_node(
     SingleDeviceBackend.tree_unflatten)
 
 
+def _q(backend, lev: int) -> bool:
+    """Quad-persistent state at this level?  (ops/relax_compact.QuadField —
+    keeps the compact smoother's quad layout across the whole cycle; no
+    split/merge/interleave between consecutive hot ops.)"""
+    fn = getattr(backend, "state_quads", None)
+    return bool(fn(lev)) if fn is not None else False
+
+
 def vcycle(backend, ps: list, bs: list, top: int,
            cfg: SolverConfig) -> list:
     """One V-cycle from level ``top`` down (``Vcycle``,
@@ -257,11 +352,13 @@ def vcycle(backend, ps: list, bs: list, top: int,
     L = backend.nlevs
     for lev in range(top, L - 1):
         ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_pre)
-        bs[lev + 1] = backend.residual_restrict(lev, ps[lev], bs[lev])
-        ps[lev + 1] = backend.zeros(lev + 1)
+        bs[lev + 1] = backend.residual_restrict(lev, ps[lev], bs[lev],
+                                                as_quads=_q(backend, lev + 1))
+        ps[lev + 1] = backend.zeros(lev + 1, as_quads=_q(backend, lev + 1))
     ps[L - 1] = backend.relax(L - 1, ps[L - 1], bs[L - 1], cfg.ns_coarsest)
     for lev in range(L - 2, top - 1, -1):
-        ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1])
+        ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1],
+                                            as_quads=_q(backend, lev))
         ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_post)
     return ps
 
@@ -272,21 +369,28 @@ def fcycle(backend, p0, b0, r0, cfg: SolverConfig):
     Restricts the *current residual* r0 down all levels (the down-leg
     ``fine2coarse`` reads grid%r, :113), relaxes the coarsest, then per
     level applies the coarse correction and runs a V-cycle from there.
+
+    Contract: full arrays in, full array out; quad-persistent levels
+    convert at this boundary only (once per F-cycle, not per op).
     """
     L = backend.nlevs
     ps = [None] * L
     bs = [None] * L
-    ps[0], bs[0] = p0, b0
-    r = r0
+    to_state = getattr(backend, "to_state", lambda lev, x: x)
+    to_full = getattr(backend, "to_full", lambda lev, x: x)
+    ps[0], bs[0] = to_state(0, p0), to_state(0, b0)
+    r = r0                        # level-0 residual, always full here
     for lev in range(0, L - 1):
-        bs[lev + 1] = backend.restrict(lev, r)
-        ps[lev + 1] = backend.zeros(lev + 1)
+        bs[lev + 1] = backend.restrict(lev, r,
+                                       as_quads=_q(backend, lev + 1))
+        ps[lev + 1] = backend.zeros(lev + 1, as_quads=_q(backend, lev + 1))
         r = bs[lev + 1]           # coarse residual (p=0) == b (:114)
     ps[L - 1] = backend.relax(L - 1, ps[L - 1], bs[L - 1], cfg.ns_coarsest)
     for lev in range(L - 2, -1, -1):
-        ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1])
+        ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1],
+                                            as_quads=_q(backend, lev))
         ps = vcycle(backend, ps, bs, lev, cfg)
-    return ps[0]
+    return to_full(0, ps[0])
 
 
 def vcycle2(backend, ps: list, bs: list, top: int, bottom: int,
