@@ -94,7 +94,12 @@ def refined_pressure_solve(m32: NHModel, m64: NHModel, b64: jnp.ndarray,
     """
     be64 = m64.backend
     cpu = jax.devices("cpu")[0]
-    f32dev = None  # default placement of the f32 backend's arrays
+    # COMMIT the inner solve's RHS to the f32 backend's device: an
+    # uncommitted/CPU-committed r32 drags the whole jitted f32 solve onto
+    # the CPU backend, where the backend's (platform-gated, non-interpret)
+    # TPU Pallas kernels fail to lower — exactly the CUC-scale refine
+    # failure mode the round-1 advisor flagged
+    f32dev = next(iter(m32.backend.ops[0].cA.devices()))
 
     @jax.jit
     def _residual64(be, p, b):
