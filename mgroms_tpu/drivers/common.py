@@ -19,8 +19,10 @@ def base_parser(nx=64, ny=64, nz=64) -> argparse.ArgumentParser:
     p.add_argument("--npx", type=int, default=1,
                    help="device-mesh extent in x (reference npxg)")
     p.add_argument("--npy", type=int, default=1)
-    p.add_argument("--comm", default="gspmd", choices=["gspmd", "shard_map"],
-                   help="distributed communication layer")
+    p.add_argument("--comm", default="auto",
+                   choices=["auto", "gspmd", "shard_map"],
+                   help="distributed communication layer (auto: shard_map "
+                        "when the sharded compact smoother is eligible)")
     p.add_argument("--namelist", default="nh_namelist",
                    help="Fortran-namelist config file (defaults used if absent)")
     p.add_argument("--dtype", default=None,
@@ -58,7 +60,7 @@ def run_case(args, case, nit: int = 1):
     jax.block_until_ready(m.ops[0].cA)
     tictoc.toc(0, "matrices")
     if args.npx * args.npy > 1:
-        m.distribute(args.npx, args.npy, comm=getattr(args, "comm", "gspmd"))
+        m.distribute(args.npx, args.npy, comm=getattr(args, "comm", "auto"))
 
     print("Initialise u, v, w  (U=0, V=0, W=-1 except at bottom)")
     u, v, w = initial_velocities(args.nx, args.ny, args.nz,

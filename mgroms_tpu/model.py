@@ -102,13 +102,18 @@ class NHModel:
                     rank=0, iteration=iteration)
 
     def distribute(self, npx: int, npy: int, devices=None,
-                   comm: str = "gspmd") -> None:
+                   comm: str = "auto") -> None:
         """Distribute the solve over an (npx, npy) device mesh — the
         reference's 2-D horizontal domain decomposition
         (npxg x npyg, nhydro_init args, nhydro.f90:18).  Call after
         :meth:`set_matrices`.
 
         ``comm`` selects the communication layer:
+          - 'auto' (default): 'shard_map' whenever any sharded level can
+            smooth compact/quad-persistent there (so the flagship
+            distributed configuration keeps the fast smoother paths —
+            testcuc runs 1024^2 on 2x2, mg_testcuc.f90:34-39), else
+            'gspmd'.
           - 'gspmd': global arrays + sharding constraints; XLA inserts the
             halo collectives, operators replicated.
           - 'shard_map': explicit two-phase ppermute halo exchange with
@@ -126,6 +131,10 @@ class NHModel:
         assert self.backend is not None, "call set_matrices first"
         mesh = make_mesh(npx, npy, devices)
         plan = MeshPlan.create(mesh, self.levels, nsmall=self.cfg.nsmall)
+        if comm == "auto":
+            from .parallel.shardmap_backend import default_comm
+            comm = default_comm(self.levels, plan, self.cfg,
+                                self.backend.platform)
         # replicated (agglomerated) levels keep their persisted compact
         # packs, pinned replicated on the mesh; sharded levels smooth
         # through the shard_map/GSPMD paths (per-shard pack build there)

@@ -34,13 +34,43 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..assembly import LevelOperator
 from ..config import SolverConfig
-from ..levels import LevelSpec
+from ..levels import LevelSpec, ShardSpec
 from ..ops import relax as relax_ops
 from ..ops import stencil, transfer
 from .backend import DistributedBackend
 from .exchange import axis_offsets, block_extended, halo_extend
 from .mesh import MeshPlan
 
+
+def compact_shard_eligible(spec: LevelSpec, sh: ShardSpec,
+                           cfg: SolverConfig, platform: str) -> bool:
+    """Quad-parity compact smoothing eligibility for a SHARDED level: local
+    tiles must be even (so local quad parity == global parity,
+    parallel/exchange.extend_quads_shard) and, on TPU, the local quad width
+    must still fill the vector lanes (the per-shard image of
+    solver.compact_eligible's gate)."""
+    if not (cfg.compact and spec.nd == 8
+            and cfg.relax_kind in ("RB", "FC")
+            and sh.ny % 2 == 0 and sh.nx % 2 == 0):
+        return False
+    if platform == "cpu":
+        return True
+    return sh.nx // 2 >= 128 and sh.ny // 2 >= 8
+
+
+def default_comm(levels: List[LevelSpec], plan: MeshPlan,
+                 cfg: SolverConfig, platform: str) -> str:
+    """Auto comm-layer selection (model.distribute(comm='auto')): the
+    explicit shard_map backend whenever any sharded level can smooth in
+    quad-parity compact form there — the configuration where GSPMD would
+    forfeit the fast paths (a GSPMD quad reshape/pallas_call on sharded
+    globals forces resharding, parallel/backend.py:75-86).  The reference's
+    flagship IS such a run (testcuc: 1024^2 on 2x2, mg_testcuc.f90:34-39)."""
+    for lev, spec in enumerate(levels):
+        sh = plan.shards[lev]
+        if sh.sharded and compact_shard_eligible(spec, sh, cfg, platform):
+            return "shard_map"
+    return "gspmd"
 
 
 def shard_packs_blocked(levels: List[LevelSpec], ops_blocked, cfg,
@@ -112,18 +142,74 @@ class ShardMapBackend(DistributedBackend):
 
     # -- smoothing ----------------------------------------------------------
     def _use_compact_shard(self, lev) -> bool:
-        """Compact quad-parity smoothing on a SHARDED level: local tiles
-        must be even (so local parity == global parity) and, on TPU, the
-        local quad width must still fill the vector lanes."""
-        sh = self.plan.shards[lev]
-        spec = self.levels[lev]
-        if not (self.cfg.compact and spec.nd == 8
-                and self.cfg.relax_kind in ("RB", "FC")
-                and sh.ny % 2 == 0 and sh.nx % 2 == 0):
+        return compact_shard_eligible(self.levels[lev],
+                                      self.plan.shards[lev],
+                                      self.cfg, self.platform)
+
+    # -- quad-persistent state on SHARDED levels ----------------------------
+    # (the round-2 single-chip win, extended across the decomposition: state
+    # stays as a sharded QuadField between hot ops, so no split/merge per
+    # relax call and no minor-axis interleave in prolong — the exact
+    # overhead the quad-persistent V-cycle removed on one chip.)
+    def state_quads(self, lev: int) -> bool:
+        if lev >= self.nlevs - 1:
             return False
-        if self.platform == "cpu":
-            return True
-        return sh.nx // 2 >= 128 and sh.ny // 2 >= 8
+        if not self.plan.shards[lev].sharded:
+            return super().state_quads(lev)
+        return self._use_compact_shard(lev) and self.packs[lev] is not None
+
+    def to_state(self, lev: int, x):
+        from ..ops.relax_compact import QuadField
+        if not self.plan.shards[lev].sharded or isinstance(x, QuadField) \
+                or not self.state_quads(lev):
+            return super().to_state(lev, x)
+        sp3 = self.plan.spec(lev, 3)
+        f = jax.shard_map(QuadField.split, mesh=self.plan.mesh,
+                          in_specs=(sp3,), out_specs=sp3)
+        return f(x)
+
+    def to_full(self, lev: int, x):
+        from ..ops.relax_compact import QuadField
+        if not isinstance(x, QuadField) \
+                or not self.plan.shards[lev].sharded:
+            return super().to_full(lev, x)
+        sp3 = self.plan.spec(lev, 3)
+        f = jax.shard_map(lambda q: q.merge(), mesh=self.plan.mesh,
+                          in_specs=(sp3,), out_specs=sp3)
+        return f(x)
+
+    def _relax_quads_shard(self, lev, p, b, nsweeps):
+        """Quad-native smoothing on a sharded level: shard_map over the
+        four quad arrays with the ppermute seam exchange per color — the
+        fill_halo-per-color protocol (mg_relax.f90:181) on QuadField state."""
+        from ..ops.relax_compact import QuadField
+        from .exchange import extend_quads_shard
+        cfg = self.cfg
+        pya, pxa = self._axes(lev)
+        sp3 = self.plan.spec(lev, 3)
+        use_tiled = self._use_tiled_shard(lev)
+        interpret = self.platform == "cpu"
+        real = cfg.cmatrix == "real"
+
+        def local(pq, bq, pack_l):
+            ext = lambda q: extend_quads_shard(q, py_axis=pya, px_axis=pxa)
+            if use_tiled:
+                from ..ops.pallas.relax_tiled import relax_compact_tiled_quads
+                out = relax_compact_tiled_quads(
+                    pq.asdict(), bq.asdict(), pack_l, nsweeps,
+                    cfg.relax_kind, real, interpret=interpret, extend_fn=ext)
+            else:
+                from ..ops.relax_compact import relax_compact_quads
+                out = relax_compact_quads(
+                    pq.asdict(), bq.asdict(), pack_l, nsweeps,
+                    cfg.relax_kind, real, tridiag_method=cfg.tridiag,
+                    extend_fn=ext)
+            return QuadField.fromdict(out)
+
+        f = jax.shard_map(local, mesh=self.plan.mesh,
+                          in_specs=(sp3, sp3, sp3), out_specs=sp3,
+                          check_vma=False)
+        return f(p, b, self.packs[lev])
 
     def _axes(self, lev):
         """Active mesh axis names for this level (None = dropped by staged
@@ -156,6 +242,9 @@ class ShardMapBackend(DistributedBackend):
         sh = self.plan.shards[lev]
         if not sh.sharded:
             return super().relax(lev, p, b, nsweeps)
+        from ..ops.relax_compact import QuadField
+        if isinstance(p, QuadField):
+            return self._relax_quads_shard(lev, p, b, nsweeps)
         cfg = self.cfg
         use_compact = self._use_compact_shard(lev)
         use_tiled = use_compact and self._use_tiled_shard(lev) \
@@ -255,24 +344,54 @@ class ShardMapBackend(DistributedBackend):
                           out_specs=sp3, check_vma=not use_tiled)
         return f(p, b, self.ops[lev].cA)
 
+    def _residual_quads_shard(self, lev, p, b):
+        """r = b - A p in quad layout on a sharded level (shard_map over the
+        quads with the ppermute seam extension)."""
+        from ..ops.relax_compact import QuadField, residual_quads
+        from .exchange import extend_quads_shard
+        real = self.cfg.cmatrix == "real"
+        pya, pxa = self._axes(lev)
+        sp3 = self.plan.spec(lev, 3)
+
+        def local(pq, bq, pack_l):
+            return QuadField.fromdict(residual_quads(
+                pq.asdict(), bq.asdict(), pack_l, real,
+                extend_fn=lambda q: extend_quads_shard(
+                    q, py_axis=pya, px_axis=pxa)))
+
+        f = jax.shard_map(local, mesh=self.plan.mesh,
+                          in_specs=(sp3, sp3, sp3), out_specs=sp3)
+        return f(p, b, self.packs[lev])
+
     def residual_restrict(self, lev, p, b, as_quads: bool = False):
         """Fused residual+restrict on the sharded levels' local blocks when
         the coarse level keeps the same active axes (children of a local
         coarse tile are exactly the local fine tile).  Stage transitions
-        and replicated levels fall back to the parent implementation."""
+        and replicated levels fall back to the parent implementation;
+        quad-persistent state without the tiled kernel takes the XLA quad
+        residual + the parent restrict (which carries any transition
+        collective)."""
+        from ..ops.relax_compact import QuadField, split_quads
         shf, shc = self.plan.shards[lev], self.plan.shards[lev + 1]
         spec = self.levels[lev]
-        ok = (shf.sharded and shc.sharded
-              and shf.shard_py == shc.shard_py
-              and shf.shard_px == shc.shard_px
-              and not self.levels[lev + 1].aggressive_from_prev
-              and spec.nzg % 2 == 0
-              and self._use_compact_shard(lev)
-              and self._use_tiled_shard(lev)
-              and self.packs[lev] is not None)
-        if not ok:
+        quads_in = isinstance(p, QuadField)
+        if not shf.sharded:
             return super().residual_restrict(lev, p, b, as_quads=as_quads)
-        assert not as_quads, "sharded coarse levels are never quad-persistent"
+        fused_ok = (shc.sharded
+                    and shf.shard_py == shc.shard_py
+                    and shf.shard_px == shc.shard_px
+                    and not self.levels[lev + 1].aggressive_from_prev
+                    and spec.nzg % 2 == 0
+                    and self._use_compact_shard(lev)
+                    and self._use_tiled_shard(lev)
+                    and self.packs[lev] is not None)
+        if not fused_ok:
+            if quads_in:
+                # quad residual stays local; restrict handles aggressive /
+                # stage-transition resharding exactly like the full path
+                rq = self._residual_quads_shard(lev, p, b)
+                return self.restrict(lev, rq, as_quads=as_quads)
+            return super().residual_restrict(lev, p, b, as_quads=as_quads)
 
         real = self.cfg.cmatrix == "real"
         interpret = self.platform == "cpu"
@@ -280,12 +399,21 @@ class ShardMapBackend(DistributedBackend):
         sp3 = self.plan.spec(lev, 3)
 
         def local(p_l, b_l, pack_l):
-            from ..ops.pallas.relax_tiled import residual_restrict_tiled
+            from ..ops.pallas.relax_tiled import (
+                residual_restrict_tiled, residual_restrict_tiled_quads)
             from .exchange import extend_quads_shard
-            return residual_restrict_tiled(
-                p_l, b_l, pack_l, real, interpret=interpret,
-                extend_fn=lambda q: extend_quads_shard(
-                    q, py_axis=pya, px_axis=pxa))
+            ext = lambda q: extend_quads_shard(q, py_axis=pya, px_axis=pxa)
+            if quads_in:
+                full_c = residual_restrict_tiled_quads(
+                    p_l.asdict(), b_l.asdict(), pack_l, real,
+                    interpret=interpret, extend_fn=ext)
+            else:
+                full_c = residual_restrict_tiled(
+                    p_l, b_l, pack_l, real, interpret=interpret,
+                    extend_fn=ext)
+            # coarse tiles are even whenever the coarse level is
+            # quad-persistent, so the local split IS the global split
+            return QuadField.split(full_c) if as_quads else full_c
 
         f = jax.shard_map(local, mesh=self.plan.mesh,
                           in_specs=(sp3, sp3, sp3),
@@ -301,14 +429,15 @@ class ShardMapBackend(DistributedBackend):
     # implementation with its per-level constraint.
 
     def prolong(self, lev, pc, as_quads: bool = False):
+        from ..ops.relax_compact import QuadField
         shf, shc = self.plan.shards[lev], self.plan.shards[lev + 1]
         if not (shf.sharded and shc.sharded
                 and shf.shard_py == shc.shard_py
                 and shf.shard_px == shc.shard_px):
             # replicated coarse level, or a stage transition (different
             # active axes): the GSPMD path inserts the re-shard collective
+            # (quad coarse state is merged by to_full, locally if sharded)
             return super().prolong(lev, pc, as_quads=as_quads)
-        assert not as_quads, "sharded fine levels are never quad-persistent"
 
         nz_f = self.levels[lev].nzg
         interp = self.cfg.interp_type
@@ -317,8 +446,16 @@ class ShardMapBackend(DistributedBackend):
         sp3c, sp3f = self.plan.spec(lev + 1, 3), self.plan.spec(lev, 3)
 
         def local(pc_l):
-            return transfer.prolong(halo_extend(pc_l, pya, pxa), nz_f,
-                                    interp, aggressive=aggressive)
+            # quad-persistent coarse state merges LOCALLY (1/8-size
+            # interleave); the fine output stays in quads when the fine
+            # level is quad-persistent — no fine-level interleave at all
+            # (transfer.prolong_3d_linear_quads)
+            if isinstance(pc_l, QuadField):
+                pc_l = pc_l.merge()
+            out = transfer.prolong(halo_extend(pc_l, pya, pxa), nz_f,
+                                   interp, aggressive=aggressive,
+                                   as_quads=as_quads)
+            return QuadField.fromdict(out) if as_quads else out
 
         f = jax.shard_map(local, mesh=self.plan.mesh,
                           in_specs=(sp3c,), out_specs=sp3f)
