@@ -57,17 +57,22 @@ def main():
 
     @jax.jit
     def run(be, b, n):
-        """n F-cycles from p=0, recording ||r||/||b|| after each."""
-        p = be.zeros(0)
-        r = be.residual(0, p, b)
+        """n F-cycles from p=0, recording ||r||/||b|| after each.  State
+        (p, b, r) rides in level 0's canonical layout (QuadField on
+        quad-persistent levels) exactly like solver.solve_step."""
+        q = bool(getattr(be, "state_quads", lambda lev: False)(0))
+        to_state = getattr(be, "to_state", lambda lev, x: x)
+        p = be.zeros(0, as_quads=q)
+        bs = to_state(0, b)
+        r = be.residual(0, p, bs)
         bnorm = jnp.sqrt(be.norm_sq(0, b))
         hist0 = jnp.zeros((MAXC + 1,), dtype=b.dtype)
         hist0 = hist0.at[0].set(jnp.sqrt(be.norm_sq(0, r)) / bnorm)
 
         def body(i, state):
             p, r, hist = state
-            p = fcycle(be, p, b, r, cfg)
-            r = be.residual(0, p, b)
+            p = fcycle(be, p, bs, r, cfg, keep_state=True)
+            r = be.residual(0, p, bs)
             hist = hist.at[i + 1].set(jnp.sqrt(be.norm_sq(0, r)) / bnorm)
             return (p, r, hist)
 

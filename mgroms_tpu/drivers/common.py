@@ -33,6 +33,10 @@ def base_parser(nx=64, ny=64, nz=64) -> argparse.ArgumentParser:
                    help="residual-history file (reference fort.100)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--profile", action="store_true",
+                   help="after the solve, profile one F-cycle per level/"
+                        "section and print the reference-style table "
+                        "(print_tictoc, mg_tictoc.f90:114-153)")
     return p
 
 
@@ -82,5 +86,13 @@ def run_case(args, case, nit: int = 1):
         div = float(m.check_nondivergence(uc, vc, wc))
         b0 = float(jnp.max(jnp.abs(m.rhs(u, v, w))))
         print(f"max |div| after correction: {div:.3e} (initial {b0:.3e})")
+    if getattr(args, "profile", False):
+        # per-(level, section) breakdown of one F-cycle — the reference's
+        # per-level table (tic/toc inside Fcycle/Vcycle, mg_relax.f90:128+,
+        # mg_solvers.f90:45+).  Device-resident re-timing on accelerators
+        # (eager wall-clocks are dispatch-RTT artifacts over the tunnel).
+        print("Profiling one F-cycle per level/section ...")
+        tictoc.profile_fcycle(m.backend, m.rhs(u, v, w), m.cfg,
+                              device_timer=(platform != "cpu"))
     tictoc.print_tictoc()
     return m, info

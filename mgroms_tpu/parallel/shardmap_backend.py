@@ -323,6 +323,9 @@ class ShardMapBackend(DistributedBackend):
         return supports(spec.nzg, sh.ny, sh.nx, item)
 
     def residual(self, lev, p, b):
+        from ..ops.relax_compact import QuadField
+        if self.plan.shards[lev].sharded and isinstance(p, QuadField):
+            return self._residual_quads_shard(lev, p, b)
         if not self.plan.shards[lev].sharded:
             return super().residual(lev, p, b)
         real = self.cfg.cmatrix == "real"

@@ -239,6 +239,18 @@ class SingleDeviceBackend:
         return supports(spec.nzg, spec.nyg, spec.nxg, item)
 
     def residual(self, lev: int, p, b):
+        from .ops.relax_compact import QuadField
+        if isinstance(p, QuadField):
+            # quad-native residual (bitwise stencil.residual in quad form):
+            # reads the persisted gather blocks, ~7x cheaper than the
+            # full-array tiled residual at CUC scale (post-quad profile)
+            from .ops.relax_compact import build_compact_pack, residual_quads
+            pack = self.packs[lev]
+            if pack is None:
+                pack = build_compact_pack(self.ops[lev].cA,
+                                          self.cfg.cmatrix == "real")
+            return QuadField.fromdict(residual_quads(
+                p.asdict(), b.asdict(), pack, self.cfg.cmatrix == "real"))
         pe = self.extend(lev, p)
         if self._use_tiled(lev, kind="residual"):
             from .ops.pallas.stencil_tiled import residual_tiled
@@ -318,6 +330,9 @@ class SingleDeviceBackend:
 
     # -- reductions --------------------------------------------------------
     def norm_sq(self, lev: int, x) -> jnp.ndarray:
+        from .ops.relax_compact import QuadField
+        if isinstance(x, QuadField):
+            return sum(jnp.sum(q * q) for q in x.quads)
         return jnp.sum(x * x)
 
     def zeros(self, lev: int, as_quads: bool = False):
@@ -363,15 +378,21 @@ def vcycle(backend, ps: list, bs: list, top: int,
     return ps
 
 
-def fcycle(backend, p0, b0, r0, cfg: SolverConfig):
+def fcycle(backend, p0, b0, r0, cfg: SolverConfig,
+           keep_state: bool = False):
     """One F-cycle (``Fcycle``, mg_solvers.f90:104-126).
 
     Restricts the *current residual* r0 down all levels (the down-leg
     ``fine2coarse`` reads grid%r, :113), relaxes the coarsest, then per
     level applies the coarse correction and runs a V-cycle from there.
 
-    Contract: full arrays in, full array out; quad-persistent levels
-    convert at this boundary only (once per F-cycle, not per op).
+    Contract: full arrays in, full array out by default; quad-persistent
+    levels convert at this boundary only (once per F-cycle, not per op).
+    With ``keep_state=True`` the level-0 arguments may already be in the
+    level's canonical state layout (QuadField) and the result is returned
+    in it — the outer solve loop then never leaves quad layout (solve_p /
+    bench carry state across F-cycles; the only full-array conversions are
+    one split per solve and one merge of the final pressure).
     """
     L = backend.nlevs
     ps = [None] * L
@@ -379,7 +400,7 @@ def fcycle(backend, p0, b0, r0, cfg: SolverConfig):
     to_state = getattr(backend, "to_state", lambda lev, x: x)
     to_full = getattr(backend, "to_full", lambda lev, x: x)
     ps[0], bs[0] = to_state(0, p0), to_state(0, b0)
-    r = r0                        # level-0 residual, always full here
+    r = to_state(0, r0) if keep_state else r0   # level-0 residual
     for lev in range(0, L - 1):
         bs[lev + 1] = backend.restrict(lev, r,
                                        as_quads=_q(backend, lev + 1))
@@ -390,7 +411,7 @@ def fcycle(backend, p0, b0, r0, cfg: SolverConfig):
         ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1],
                                             as_quads=_q(backend, lev))
         ps = vcycle(backend, ps, bs, lev, cfg)
-    return to_full(0, ps[0])
+    return ps[0] if keep_state else to_full(0, ps[0])
 
 
 def vcycle2(backend, ps: list, bs: list, top: int, bottom: int,
@@ -457,12 +478,19 @@ def testgalerkin(backend, lev: int, cfg: SolverConfig, seed: int = 0,
 @jax.jit
 def solve_init(be, b):
     """p = 0, ||b||, initial residual and relative norm
-    (solve_p prologue, mg_solvers.f90:35-57)."""
-    p = be.zeros(0)
+    (solve_p prologue, mg_solvers.f90:35-57).
+
+    State (p, b, r) is created/kept in level 0's canonical layout
+    (QuadField on quad-persistent levels): the outer loop never pays the
+    split/merge boundary per cycle."""
+    q = bool(getattr(be, "state_quads", lambda lev: False)(0))
+    to_state = getattr(be, "to_state", lambda lev, x: x)
+    p = be.zeros(0, as_quads=q)
     bnorm = jnp.sqrt(be.norm_sq(0, b))
-    r = be.residual(0, p, b)
+    bs = to_state(0, b)
+    r = be.residual(0, p, bs)
     rnorm = jnp.sqrt(be.norm_sq(0, r))
-    return p, r, rnorm / bnorm, bnorm
+    return p, bs, r, rnorm / bnorm, bnorm
 
 
 from functools import partial
@@ -471,9 +499,10 @@ from functools import partial
 @partial(jax.jit, static_argnames=("cfg",))
 def solve_step(be, p, b, r, cfg):
     """One convergence-loop iteration: cycles_per_check F-cycles + fresh
-    residual + norm (mg_solvers.f90:61-79 body)."""
+    residual + norm (mg_solvers.f90:61-79 body).  p/b/r are level-0 STATE
+    (QuadField on quad-persistent levels) — carried across F-cycles."""
     for _ in range(cfg.cycles_per_check):
-        p = fcycle(be, p, b, r, cfg)
+        p = fcycle(be, p, b, r, cfg, keep_state=True)
         r = be.residual(0, p, b)
     rnorm = jnp.sqrt(be.norm_sq(0, r))
     return p, r, rnorm
@@ -501,14 +530,15 @@ def solve_p(backend, b: jnp.ndarray, cfg: Optional[SolverConfig] = None,
     tol = cfg.solver_prec if tol is None else tol
     maxiter = cfg.solver_maxiter if maxiter is None else maxiter
 
+    to_full = getattr(backend, "to_full", lambda lev, x: x)
     t0 = time.perf_counter()
-    p, r, res0, bnorm = solve_init(backend, b)
+    p, bs, r, res0, bnorm = solve_init(backend, b)
     res0 = float(res0)
     r0val = res0
     history = [res0]
     nite = 0
     while nite < maxiter and res0 > tol:
-        p, r, rnorm = solve_step(backend, p, b, r, cfg)
+        p, r, rnorm = solve_step(backend, p, bs, r, cfg)
         rnorm = float(rnorm) / float(bnorm)
         conv = res0 / rnorm if rnorm > 0 else float("inf")
         res0 = rnorm
@@ -520,10 +550,13 @@ def solve_p(backend, b: jnp.ndarray, cfg: Optional[SolverConfig] = None,
             # per-iteration p/r dumps (mg_solvers.f90:74-77)
             import os
             from .io.diagnostics import write_field
-            write_field(p, "p", os.path.join(cfg.output_dir, "p.nc"),
+            write_field(to_full(0, p), "p",
+                        os.path.join(cfg.output_dir, "p.nc"),
                         rank=0, iteration=nite)
-            write_field(r, "r", os.path.join(cfg.output_dir, "r.nc"),
+            write_field(to_full(0, r), "r",
+                        os.path.join(cfg.output_dir, "r.nc"),
                         rank=0, iteration=nite)
+    p = to_full(0, p)
     jax.block_until_ready(p)
     dt = time.perf_counter() - t0
     if cfg.netcdf_output:
@@ -531,7 +564,8 @@ def solve_p(backend, b: jnp.ndarray, cfg: Optional[SolverConfig] = None,
         import os
         from .io.diagnostics import write_field
         write_field(p, "p", os.path.join(cfg.output_dir, "p_end.nc"), rank=0)
-        write_field(r, "r", os.path.join(cfg.output_dir, "r_end.nc"), rank=0)
+        write_field(to_full(0, r), "r",
+                    os.path.join(cfg.output_dir, "r_end.nc"), rank=0)
 
     # rescaled performance (mg_solvers.f90:84-97): core-seconds per DOF per
     # decade of residual reduction

@@ -78,3 +78,119 @@ def print_tictoc() -> None:
 
 def reset_tictoc() -> None:
     _GLOBAL.reset()
+
+
+# -- per-level cycle profiling (the reference's per-(level,routine) table) --
+
+# the sections the reference brackets per level (mg_relax.f90:128,146,167,
+# 188; mg_solvers.f90:45,82,108,124), in this codebase's op vocabulary
+_PROFILED_OPS = ("relax", "residual", "residual_restrict", "restrict",
+                 "prolong", "to_state", "to_full")
+
+
+class InstrumentedBackend:
+    """Profiling wrapper around any solver backend: brackets every
+    per-level operation with tic/toc (blocking on the result, so each
+    entry is an honest eager wall-clock) and optionally records the call
+    list for device-resident re-timing (:func:`profile_fcycle`).
+
+    The cycle functions take the backend as an argument, so running
+    ``fcycle(InstrumentedBackend(be), ...)`` OUTSIDE jit executes each
+    per-level op as its own dispatch — the eager diagnostic mode that
+    populates the reference-style table (print_tictoc,
+    mg_tictoc.f90:114-153)."""
+
+    def __init__(self, inner, tictoc: Optional[TicToc] = None,
+                 record: bool = False):
+        self._inner = inner
+        self._tt = tictoc if tictoc is not None else _GLOBAL
+        self._record = record
+        self.calls = []          # (op, lev, args, kwargs)
+
+    def __getattr__(self, name):
+        if name in _PROFILED_OPS:
+            inner_fn = getattr(self._inner, name)
+
+            def f(lev, *args, **kw):
+                self._tt.tic(lev, name)
+                out = inner_fn(lev, *args, **kw)
+                jax.block_until_ready(out)
+                self._tt.toc(lev, name)
+                if self._record:
+                    self.calls.append((name, lev, args, kw))
+                return out
+
+            return f
+        return getattr(self._inner, name)
+
+
+def _device_time_call(backend, op: str, lev: int, args, kw,
+                      iters: int) -> float:
+    """Seconds per call of ``getattr(backend, op)(lev, *args, **kw)``
+    measured device-resident (utils/timing.time_device_fn — the only
+    trustworthy method on tunneled TPU backends).  Array leaves ride in
+    the carry; static leaves (ints, bools) stay in the closure."""
+    from .timing import time_device_fn
+    leaves, treedef = jax.tree_util.tree_flatten((args, kw))
+    is_arr = [isinstance(l, jax.Array) for l in leaves]
+    arrs = [l for l, f in zip(leaves, is_arr) if f]
+    static = [None if f else l for l, f in zip(leaves, is_arr)]
+
+    def rebuild(arrs_now):
+        it = iter(arrs_now)
+        full = [next(it) if f else s
+                for s, f in zip(static, is_arr)]
+        return jax.tree_util.tree_unflatten(treedef, full)
+
+    a0, k0 = rebuild(arrs)
+    out0 = getattr(backend, op)(lev, *a0, **k0)
+
+    def step(c):
+        be, arrs_c, _ = c
+        a, k = rebuild(arrs_c)
+        return (be, arrs_c, getattr(be, op)(lev, *a, **k))
+
+    return time_device_fn(step, (backend, arrs, out0), iters=iters)
+
+
+def profile_fcycle(backend, b, cfg, device_timer: bool = False,
+                   iters: int = 10, tictoc: Optional[TicToc] = None
+                   ) -> TicToc:
+    """Populate the per-(level, section) table with ONE F-cycle's work —
+    the TPU-native image of the reference's per-level profile (tic/toc
+    inside Fcycle/Vcycle/relax, printed by print_tictoc).
+
+    Runs the F-cycle eagerly through an :class:`InstrumentedBackend` (each
+    per-level op bracketed + blocked).  With ``device_timer=True`` every
+    distinct (op, level, signature) is then re-timed device-resident and
+    the table's seconds are replaced (per-call time x eager call count) —
+    use this on tunneled TPU backends where eager wall-clocks are
+    dispatch-RTT artifacts (CLAUDE.md).  Returns the populated table."""
+    from ..solver import fcycle
+    tt = tictoc if tictoc is not None else _GLOBAL
+    ib = InstrumentedBackend(backend, tictoc=tt, record=device_timer)
+    p0 = backend.zeros(0)
+    r0 = backend.residual(0, p0, b)
+    jax.block_until_ready(r0)
+    p = fcycle(ib, p0, b, r0, cfg)
+    # the outer loop's per-iteration residual (mg_solvers.f90:65)
+    ib.residual(0, p, b)
+    if device_timer:
+        # keep the eager call counts; replace seconds with device-resident
+        # per-call times (grouped by op/level/static signature)
+        groups = {}
+        for op, lev, args, kw in ib.calls:
+            statics = tuple(a for a in args
+                            if not isinstance(a, jax.Array)) \
+                + tuple(sorted(kw.items()))
+            key = (op, lev, statics)
+            if key not in groups:
+                groups[key] = [0, (args, kw)]
+            groups[key][0] += 1
+        for key in list(tt.table):
+            if key[1] in _PROFILED_OPS:
+                tt.table[key][0] = 0.0
+        for (op, lev, _), (count, (args, kw)) in groups.items():
+            per_call = _device_time_call(backend, op, lev, args, kw, iters)
+            tt.table[(lev, op)][0] += per_call * count
+    return tt

@@ -76,13 +76,17 @@ def main():
 
     @jax.jit
     def run(be, b, n):
-        p = be.zeros(0)
-        r = be.residual(0, p, b)
+        # state carried in level 0's canonical layout (solver.solve_step)
+        q = bool(getattr(be, "state_quads", lambda lev: False)(0))
+        to_state = getattr(be, "to_state", lambda lev, x: x)
+        p = be.zeros(0, as_quads=q)
+        bs = to_state(0, b)
+        r = be.residual(0, p, bs)
 
         def body(i, state):
             p, r = state
-            p = fcycle(be, p, b, r, cfg)
-            r = be.residual(0, p, b)
+            p = fcycle(be, p, bs, r, cfg, keep_state=True)
+            r = be.residual(0, p, bs)
             return (p, r)
 
         p, r = jax.lax.fori_loop(0, n, body, (p, r))

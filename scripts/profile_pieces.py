@@ -1,9 +1,11 @@
-"""One-off: time individual level-0 pieces at CUC scale on the TPU.
+"""One-off: time individual pieces of the QUAD-PERSISTENT cycle at CUC
+scale on the TPU (the post-quad profile: what composes an F-cycle today).
 
-Separates prolong from residual_restrict, measures the quad split/merge
-round trip, and the marginal sweep cost (relax(3) - relax(1)) to see how
-much of a relax call is per-call overhead.  Everything rides in the carry
-(never a closure — see CLAUDE.md on HLO constants).
+Times the quad-native entry points the V-cycle actually runs on the
+compact levels (state in/out as QuadField), the F-cycle-boundary
+conversions, the solve_step full residual, and the whole F-cycle — so the
+breakdown sums against the end-to-end number.  Everything rides in the
+carry (never a closure — see CLAUDE.md on HLO constants).
 
 Usage: PYTHONPATH=/root/.axon_site:. python scripts/profile_pieces.py
 """
@@ -22,6 +24,7 @@ def main():
     nz = 64
     from mgroms_tpu import NHModel, SolverConfig
     from mgroms_tpu.cases.cuc import setup_cuc_synthetic
+    from mgroms_tpu.ops.relax_compact import QuadField
     from mgroms_tpu.utils.timing import time_device_fn
 
     dt = jnp.float32
@@ -32,10 +35,19 @@ def main():
                    theta_b=case.theta_b, theta_s=case.theta_s)
     m.offload_metrics()
     be = m.backend
+    print("state_quads per level:",
+          [be.state_quads(l) for l in range(be.nlevs)], flush=True)
 
     p = jnp.zeros((nz, ny, nx), dt)
     b = jnp.ones((nz, ny, nx), dt)
     pc = jnp.ones((nz // 2, ny // 2, nx // 2), dt)
+
+    @jax.jit
+    def mkq(x):
+        return QuadField.split(x)
+
+    pq, bq = mkq(p), mkq(b)
+    pcq, bcq = mkq(pc), mkq(pc)
 
     rows = {}
 
@@ -43,24 +55,46 @@ def main():
         rows[name] = round(time_device_fn(step, carry, iters=iters) * 1e3, 2)
         print(json.dumps({name: rows[name]}), flush=True)
 
-    # fine->coarse via strided slice keeps the carry shape fixed
-    t("prolong0", lambda c: (c[0], c[0].prolong(0, c[1])[::2, ::2, ::2]),
-      (be, pc))
-    t("restrict0", lambda c: (c[0], c[1], c[0].restrict(0, c[1])),
-      (be, p, pc))
-    t("rr0", lambda c: (c[0], c[1], c[0].residual_restrict(0, c[1], c[1])),
-      (be, p, pc))
-    t("residual0", lambda c: (c[0], c[0].residual(0, c[1], c[2]), c[2]),
-      (be, p, b))
-    t("sweep1", lambda c: (c[0], c[0].relax(0, c[1], c[2], 1), c[2]),
-      (be, p, b))
-    t("sweep3", lambda c: (c[0], c[0].relax(0, c[1], c[2], 3), c[2]),
-      (be, p, b), iters=6)
+    # -- level 0, quad-native hot ops (what the V-cycle runs) --------------
+    t("sweep1_q0", lambda c: (c[0], c[0].relax(0, c[1], c[2], 1), c[2]),
+      (be, pq, bq))
+    t("sweep3_q0", lambda c: (c[0], c[0].relax(0, c[1], c[2], 3), c[2]),
+      (be, pq, bq), iters=6)
+    t("rr_q0", lambda c: (c[0], c[1], c[2],
+                          c[0].residual_restrict(0, c[1], c[2],
+                                                 as_quads=True)),
+      (be, pq, bq, pcq))
+    t("prolong_q0", lambda c: (c[0], c[1],
+                               c[0].prolong(0, c[1], as_quads=True)),
+      (be, pcq, pq))
 
+    # -- level 1 (quads are (32, 256, 256)) ---------------------------------
+    t("sweep1_q1", lambda c: (c[0], c[0].relax(1, c[1], c[2], 1), c[2]),
+      (be, pcq, bcq))
+    t("sweep3_q1", lambda c: (c[0], c[0].relax(1, c[1], c[2], 3), c[2]),
+      (be, pcq, bcq), iters=6)
+
+    # -- F-cycle boundary + outer-loop pieces -------------------------------
     from mgroms_tpu.ops.relax_compact import merge_quads, split_quads
-    t("split_merge", lambda c: (merge_quads(split_quads(c[0])),), (p,))
+    t("split_merge0", lambda c: (merge_quads(split_quads(c[0])),), (p,))
+    t("residual0_full", lambda c: (c[0], c[0].residual(0, c[1], c[2]), c[2]),
+      (be, p, b))
 
-    rows["marginal_sweep"] = round((rows["sweep3"] - rows["sweep1"]) / 2, 2)
+    # -- the whole F-cycle (the end-to-end number the rows sum against) -----
+    from mgroms_tpu.solver import fcycle
+
+    def fc(c):
+        be, p_, b_, r_ = c
+        p_ = fcycle(be, p_, b_, r_, cfg, keep_state=True)
+        r_ = be.residual(0, p_, b_)
+        return (be, p_, b_, r_)
+
+    t("fcycle_plus_residual", fc, (be, pq, bq, bq), iters=6)
+
+    rows["marginal_sweep_q0"] = round((rows["sweep3_q0"] - rows["sweep1_q0"])
+                                      / 2, 2)
+    rows["marginal_sweep_q1"] = round((rows["sweep3_q1"] - rows["sweep1_q1"])
+                                      / 2, 2)
     print(json.dumps(rows))
 
 
