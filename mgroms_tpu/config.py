@@ -93,6 +93,18 @@ class SolverConfig:
     # lets the 8-virtual-device CPU test mesh exercise the exact TPU kernel
     # code paths (including inside shard_map local blocks); never set on TPU
     pallas_interpret: bool = False
+    # color-fused sweep kernel (ops/pallas/sweep_fused.py): both RB colors
+    # of a sweep in ONE Pallas pass, so each operator band streams from HBM
+    # once per sweep instead of once per color (the smoother is DMA-bound
+    # at ~72% of HBM peak — scripts/micro_relax_kernel.py).  RB only;
+    # iterates match the two-kernel path to 1 ulp (FMA contraction).
+    pallas_fused_sweep: bool = True
+    # store the fused-sweep gather bands in bfloat16 (halves the dominant
+    # HBM stream).  The smoother becomes an exact solve of a ~0.4%-
+    # perturbed column system — still a smoother, same f32 floor (set by
+    # the f32-exact residual), convergence factor unchanged in practice;
+    # OFF by default until pinned per-case (see BENCH notes).
+    fused_bands_bf16: bool = False
     # coarsest-level treatment: 'relax' (ns_coarsest smoothing sweeps,
     # reference behaviour, mg_solvers.f90:117/144) or 'direct' (multiply by
     # a precomputed dense inverse — one MXU matmul instead of ~2*ns_coarsest

@@ -55,11 +55,12 @@ def _pad_rows(a: jnp.ndarray, extra: int, axis: int) -> jnp.ndarray:
     return jnp.concatenate([a, tail], axis=axis)
 
 
-def _pick_tj(H: int, nz: int, W: int, nkeys: int, itemsize: int):
-    """Row tile (multiple of 8 for the aligned blocks).  VMEM: 4 state
-    windows (single-buffered) + (nkeys+4) aligned operator/rhs blocks
-    double-buffered + out + ~10 block-sized temps (gather accumulator,
-    unrolled-Thomas state)."""
+def _pick_tj(H: int, nz: int, W: int, nkeys: int, itemsize: int,
+             nwin: int = 3, win_buf: int = 2):
+    """Row tile (multiple of 8 for the aligned blocks).  VMEM: ``nwin``
+    state windows (x ``win_buf`` pipeline buffers) + (nkeys+4) aligned
+    operator/rhs blocks double-buffered + out + ~10 block-sized temps
+    (gather accumulator, unrolled-Thomas state)."""
     We = W + 2
     for cand in (16, 8):
         if H % cand:
@@ -67,7 +68,8 @@ def _pick_tj(H: int, nz: int, W: int, nkeys: int, itemsize: int):
         wpad = _roundup8(cand + 2)
         win = nz * wpad * We
         blk = nz * cand * W
-        need = (4 * win + 2 * (nkeys + 4) * blk + 12 * blk) * itemsize
+        need = (nwin * win_buf * win
+                + 2 * (nkeys + 4) * blk + 12 * blk) * itemsize
         if need <= _PICK_BUDGET:
             return cand
     return None
@@ -79,11 +81,22 @@ def supports(nz: int, H: int, W: int, itemsize: int = 4,
     return _pick_tj(H, nz, W, nkeys, itemsize) is not None
 
 
+def _gather_quads(target) -> tuple:
+    """The 3 quads the neighbour gather for ``target`` actually reads:
+    the y-sibling, the x-sibling, and the diagonal sibling.  The target's
+    OWN quad never appears (every off-column coupling flips at least one
+    parity), so the relax kernel skips its window entirely — 25% less
+    state-window DMA and the VMEM headroom that double-buffers the rest."""
+    a, b = target
+    return ((1 - a) % 2, b), (a, (1 - b) % 2), ((1 - a) % 2, (1 - b) % 2)
+
+
 def _kernel(*refs, target, real_matrix, tj, nkeys):
     a, b = target
-    e = {key: refs[i][:, : tj + 2, :] for i, key in enumerate(_TKEYS)}
-    blocks = tuple(refs[4 + m][:] for m in range(nkeys))
-    ud_ref, bet_ref, gam_ref, bq_ref, out_ref = refs[4 + nkeys:]
+    e = {key: refs[i][:, : tj + 2, :]
+         for i, key in enumerate(_gather_quads(target))}
+    blocks = tuple(refs[3 + m][:] for m in range(nkeys))
+    ud_ref, bet_ref, gam_ref, bq_ref, out_ref = refs[3 + nkeys:]
     nz = out_ref.shape[0]
     dt = out_ref.dtype
     k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
@@ -95,30 +108,31 @@ def _kernel(*refs, target, real_matrix, tj, nkeys):
 
 @functools.partial(jax.jit,
                    static_argnames=("target", "real_matrix", "interpret"))
-def color_update_tiled(e4: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
+def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
                        ud_t, bet_t, gam_t, target, real_matrix: bool,
                        interpret: bool = False) -> jnp.ndarray:
-    """Update ONE target quad.  ``e4``: the four quad-extended state arrays
-    (nz, H+2, W+2) in ``_TKEYS`` order; ``bq_t``: (nz, H, W) the target's
-    RHS quad; ``blocks_t``/``ud_t``/``bet_t``/``gam_t``: the target's
-    persisted pack fields.  Returns the new quad (nz, H, W)."""
+    """Update ONE target quad.  ``e3``: the three quad-extended state
+    arrays the gather reads (nz, H+2, W+2) in ``_gather_quads(target)``
+    order; ``bq_t``: (nz, H, W) the target's RHS quad; ``blocks_t``/
+    ``ud_t``/``bet_t``/``gam_t``: the target's persisted pack fields.
+    Returns the new quad (nz, H, W)."""
     nz, H, W = bq_t.shape
     nkeys = len(blocks_t)
     tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize)
     assert tj is not None, f"relax tiled kernel unsupported for H={H}"
     wpad = _roundup8(tj + 2)
     extra = (H - tj + wpad) - (H + 2)
-    e4 = tuple(_pad_rows(x, extra, 1) for x in e4)
+    e3 = tuple(_pad_rows(x, extra, 1) for x in e3)
 
     def win_spec():
         # windowed state input: all dims Element (Mosaic all-or-none rule),
-        # single-buffered (the aligned pack blocks below carry the bulk of
-        # the traffic and are double-buffered; windows would double VMEM)
+        # double-buffered — dropping the unread own-quad window freed the
+        # VMEM; single-buffering serialized the window DMA behind compute
         return pl.BlockSpec((pl.Element(nz), pl.Element(wpad),
                              pl.Element(W + 2)),
                             lambda i: (0, i * tj, 0),
                             memory_space=pltpu.VMEM,
-                            pipeline_mode=pl.Buffered(1))
+                            pipeline_mode=pl.Buffered(2))
 
     def blk_spec(lead):
         return pl.BlockSpec((lead, tj, W), lambda i: (0, i, 0),
@@ -131,7 +145,7 @@ def color_update_tiled(e4: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT)
-    in_specs = ([win_spec() for _ in range(4)]
+    in_specs = ([win_spec() for _ in range(3)]
                 + [blk_spec(nz) for _ in range(nkeys)]
                 + [blk_spec(nz - 1), blk_spec(nz), blk_spec(nz - 1),
                    pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
@@ -145,7 +159,7 @@ def color_update_tiled(e4: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,
-    )(*e4, *blocks_t, ud_t, bet_t, gam_t, bq_t)
+    )(*e3, *blocks_t, ud_t, bet_t, gam_t, bq_t)
 
 
 def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
@@ -185,7 +199,8 @@ def _rr_one(e4: tuple, bq_t, blocks_t: tuple, d_t, ud_t, target,
     (nz/2, H, W) z-paired residual sums."""
     nz, H, W = bq_t.shape
     nkeys = len(blocks_t)
-    tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize)
+    tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize,
+                  nwin=4, win_buf=2)
     assert tj is not None, f"residual_restrict kernel unsupported for H={H}"
     wpad = _roundup8(tj + 2)
     extra = (H - tj + wpad) - (H + 2)
@@ -196,7 +211,7 @@ def _rr_one(e4: tuple, bq_t, blocks_t: tuple, d_t, ud_t, target,
                              pl.Element(W + 2)),
                             lambda i: (0, i * tj, 0),
                             memory_space=pltpu.VMEM,
-                            pipeline_mode=pl.Buffered(1))
+                            pipeline_mode=pl.Buffered(2))
 
     def blk_spec(lead):
         return pl.BlockSpec((lead, tj, W), lambda i: (0, i, 0),
@@ -303,11 +318,11 @@ def relax_compact_tiled_quads(q0, bq, pack: CompactPack, nsweeps: int,
 
     def color_update(q, targets):
         e = extend(q)
-        e4 = tuple(e[k] for k in _TKEYS)
         q = dict(q)
         for t in targets:
             m = ti[t]
-            q[t] = color_update_tiled(e4, bq[t], pack.blocks[m], pack.ud[m],
+            e3 = tuple(e[k] for k in _gather_quads(t))
+            q[t] = color_update_tiled(e3, bq[t], pack.blocks[m], pack.ud[m],
                                       pack.bet[m], pack.gam[m], t,
                                       real_matrix, interpret=interpret)
         return q

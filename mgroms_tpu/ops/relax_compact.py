@@ -236,12 +236,13 @@ class CompactPack(NamedTuple):
     bet: tuple       # per target: (nz, H, W)   reciprocal pivots
     gam: tuple       # per target: (nz-1, H, W) back-substitution multipliers
     real_matrix: bool
+    sweep: object = None   # ops.pallas.sweep_fused.SweepOperator | None
 
 
 jax.tree_util.register_pytree_node(
     CompactPack,
-    lambda p: ((p.blocks, p.d, p.ud, p.bet, p.gam), p.real_matrix),
-    lambda aux, c: CompactPack(*c, real_matrix=aux))
+    lambda p: ((p.blocks, p.d, p.ud, p.bet, p.gam, p.sweep), p.real_matrix),
+    lambda aux, c: CompactPack(*c[:5], real_matrix=aux, sweep=c[5]))
 
 
 def build_compact_pack(cA: jnp.ndarray, real_matrix: bool) -> CompactPack:

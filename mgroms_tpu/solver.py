@@ -61,18 +61,37 @@ def compact_eligible(spec: LevelSpec, cfg: SolverConfig,
     return spec.nxg // 2 >= 128 and spec.nyg // 2 >= 8
 
 
+def fused_sweep_wanted(cfg: SolverConfig, platform: str) -> bool:
+    """Color-fused sweep kernel applicability (per-level shape support is
+    checked at build, ops/pallas/sweep_fused.supports)."""
+    return (cfg.pallas_tiled and cfg.pallas_fused_sweep
+            and cfg.relax_kind == "RB"
+            and (platform != "cpu" or cfg.pallas_interpret))
+
+
 def build_relax_packs(levels, ops, cfg: SolverConfig, platform: str,
                       eligible=None) -> list:
     """Persisted gather-block operators (CompactPack) for the levels whose
     smoothing will run the compact path; None elsewhere.  One-time work —
-    call under jit alongside assembly."""
+    call under jit alongside assembly.  Levels eligible for the color-fused
+    sweep kernel also persist its band-window operator (pack.sweep)."""
     from .ops.relax_compact import build_compact_pack
     packs = []
     for lev, spec in enumerate(levels):
         ok = (compact_eligible(spec, cfg, platform) if eligible is None
               else eligible[lev])
-        packs.append(build_compact_pack(ops[lev].cA, cfg.cmatrix == "real")
-                     if ok else None)
+        if not ok:
+            packs.append(None)
+            continue
+        pack = build_compact_pack(ops[lev].cA, cfg.cmatrix == "real")
+        if fused_sweep_wanted(cfg, platform) and lev < len(levels) - 1:
+            from .ops.pallas.sweep_fused import build_sweep_operator
+            item = jnp.dtype(cfg.dtype).itemsize
+            bd = jnp.bfloat16 if cfg.fused_bands_bf16 else None
+            pack = pack._replace(sweep=build_sweep_operator(
+                ops[lev].cA, pack, spec.nzg, spec.nyg // 2, spec.nxg // 2,
+                band_dtype=bd, itemsize=item))
+        packs.append(pack)
     return packs
 
 
@@ -155,6 +174,13 @@ class SingleDeviceBackend:
         if pack is None:
             pack = build_compact_pack(self.ops[lev].cA,
                                       self.cfg.cmatrix == "real")
+        if getattr(pack, "sweep", None) is not None \
+                and fused_sweep_wanted(self.cfg, self.platform):
+            from .ops.pallas.sweep_fused import relax_fused_sweep
+            q = relax_fused_sweep(p.asdict(), b.asdict(), pack,
+                                  nsweeps, self.cfg.cmatrix == "real",
+                                  interpret=self.platform == "cpu")
+            return QuadField.fromdict(q)
         if self._use_tiled(lev, kind="relax"):
             from .ops.pallas.relax_tiled import relax_compact_tiled_quads
             q = relax_compact_tiled_quads(

@@ -35,6 +35,11 @@ def main():
                     help="whole-level VMEM-resident fused relax kernel "
                          "(measured parity with XLA at 64^3, not a win; "
                          "takes precedence over the compact/tiled paths)")
+    ap.add_argument("--no-fused-sweep", action="store_true",
+                    help="disable the color-fused sweep kernel "
+                         "(ops/pallas/sweep_fused)")
+    ap.add_argument("--bf16-bands", action="store_true",
+                    help="store the fused-sweep gather bands in bfloat16")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--coarsest", default="direct")
     ap.add_argument("--tridiag", default="thomas", choices=["thomas", "pcr"])
@@ -62,7 +67,9 @@ def main():
 
     cfg = SolverConfig(dtype=args.dtype, compact=not args.no_compact,
                        use_pallas=args.pallas, coarsest=args.coarsest,
-                       tridiag=args.tridiag)
+                       tridiag=args.tridiag,
+                       pallas_fused_sweep=not args.no_fused_sweep,
+                       fused_bands_bf16=args.bf16_bands)
     m = NHModel(args.nx, args.ny, args.nz, cfg=cfg)
     m.set_matrices(case.dx, case.dy, case.zeta, case.h, hc=case.hc,
                    theta_b=case.theta_b, theta_s=case.theta_s)
@@ -106,6 +113,8 @@ def main():
         "case": args.case, "grid": [args.nz, args.ny, args.nx],
         "dtype": args.dtype, "compact": not args.no_compact,
         "pallas": args.pallas, "tridiag": args.tridiag,
+        "fused_sweep": not args.no_fused_sweep,
+        "bf16_bands": args.bf16_bands,
         "fcycle_ms": round(dtc * 1e3, 3),
         "mdof_per_s": round(dof / dtc / 1e6, 1),
         "rel_residual_after_reps": res,

@@ -1,0 +1,110 @@
+"""One-off: fused-sweep kernel vs the per-color tiled path at CUC level-0
+shapes (synthetic operator data — timing depends only on shapes).
+
+The hypothesis (sweep_fused.py docstring): the per-color kernel streams
+every operator band from HBM twice per sweep; fusing both colors into one
+pallas_call halves operator traffic and reads state once.  Expected from
+the traffic model: ~13.6 -> ~9 ms/sweep f32 bands, ~6.5 ms with bf16 bands.
+
+Usage: PYTHONPATH=/root/.axon_site:. python scripts/micro_sweep_fused.py
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from mgroms_tpu.ops.relax_compact import (
+        _TKEYS, CompactPack, build_compact_pack, relax_compact_quads,
+        split_quads)
+    from mgroms_tpu.ops.pallas.relax_tiled import relax_compact_tiled_quads
+    from mgroms_tpu.ops.pallas.sweep_fused import (
+        build_sweep_operator, relax_fused_sweep)
+    from mgroms_tpu.utils.timing import time_device_fn
+
+    nz, ny, nx = 64, 1024, 1024          # CUC level 0
+    dt = jnp.float32
+    key = jax.random.PRNGKey(0)
+
+    def arr(*shape):
+        nonlocal key
+        key, k = jax.random.split(key)
+        return jax.random.uniform(k, shape, dt, 0.5, 1.5)
+
+    cA = arr(8, nz, ny + 2, nx + 2) * 0.1
+    cA = cA.at[0].add(-4.0)
+    real = True
+
+    @jax.jit
+    def build(cA):
+        return build_compact_pack(cA, real)
+
+    pack = jax.block_until_ready(build(cA))
+    p, b = arr(nz, ny, nx), arr(nz, ny, nx)
+
+    @jax.jit
+    def mk_quads(p, b):
+        return split_quads(p), split_quads(b)
+
+    q, bq = jax.block_until_ready(mk_quads(p, b))
+    rows = {}
+
+    def t(name, step, carry, iters=20):
+        rows[name] = round(time_device_fn(step, carry, iters=iters) * 1e3, 2)
+        print(json.dumps({name: rows[name]}), flush=True)
+
+    # baseline: the per-color tiled path (2 pallas_calls + extends / sweep)
+    def step_tiled(c):
+        q, bq = c
+        q = relax_compact_tiled_quads(q, bq, pack, 1, "RB", real)
+        return (q, bq)
+
+    t("tiled_sweep", step_tiled, (q, bq))
+
+    for bd, label in ((None, "fused_sweep_f32"),
+                      (jnp.bfloat16, "fused_sweep_bf16")):
+        @jax.jit
+        def build_sop(cA, pack):
+            return build_sweep_operator(cA, pack, nz, ny // 2, nx // 2,
+                                        band_dtype=bd)
+
+        sop = jax.block_until_ready(build_sop(cA, pack))
+        packs = pack._replace(sweep=sop)
+
+        def step_fused(c, packs=packs):
+            q, bq = c
+            q = relax_fused_sweep(q, bq, packs, 1, real)
+            return (q, bq)
+
+        t(label, step_fused, (q, bq))
+
+    # correctness spot-check on-device (f32 vs XLA reference path)
+    sop = jax.block_until_ready(
+        jax.jit(lambda cA, pack: build_sweep_operator(
+            cA, pack, nz, ny // 2, nx // 2))(cA, pack))
+    packs = pack._replace(sweep=sop)
+
+    @jax.jit
+    def both(q, bq):
+        a = relax_compact_quads(q, bq, pack, 1, "RB", real)
+        c = relax_fused_sweep(q, bq, packs, 1, real)
+        err = max_rel = jnp.float32(0)
+        for t_ in _TKEYS:
+            d = jnp.max(jnp.abs(a[t_] - c[t_]))
+            s = jnp.max(jnp.abs(a[t_]))
+            err = jnp.maximum(err, d)
+            max_rel = jnp.maximum(max_rel, d / s)
+        return err, max_rel
+
+    err, rel = both(q, bq)
+    print(json.dumps({"max_abs_err": float(err), "max_rel_err": float(rel)}))
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
