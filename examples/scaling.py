@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
-def run_one(nxg, nyg, nz, npx, npy, dtype):
+def run_one(nxg, nyg, nz, npx, npy, dtype, comm="auto"):
     import jax.numpy as jnp
     from mgroms_tpu import NHModel, SolverConfig
     from mgroms_tpu.cases.seamount import initial_velocities, setup_seamount
@@ -35,7 +35,7 @@ def run_one(nxg, nyg, nz, npx, npy, dtype):
     m.set_matrices(c.dx, c.dy, c.zeta, c.h, hc=c.hc,
                    theta_b=c.theta_b, theta_s=c.theta_s)
     if npx * npy > 1:
-        m.distribute(npx, npy)
+        m.distribute(npx, npy, comm=comm)
     be = m.backend
     u, v, w = initial_velocities(nxg, nyg, nz, dtype=jnp.dtype(dtype))
     b = m.rhs(u, v, w)
@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--simulate", type=int, default=0,
                     help="force N virtual CPU devices")
+    ap.add_argument("--comm", default="auto",
+                    choices=["auto", "gspmd", "shard_map"],
+                    help="communication layer (model.distribute)")
     args = ap.parse_args()
 
     if args.simulate:
@@ -85,14 +88,14 @@ def main():
     grids = [int(g) for g in args.grids.split(",")]
     meshes = [tuple(int(v) for v in mm.split("x"))
               for mm in args.meshes.split(",")]
-    print(f"platform={platform} dtype={dtype} nz={args.nz}")
+    print(f"platform={platform} dtype={dtype} nz={args.nz} comm={args.comm}")
     print(f"{'grid':>6} {'mesh':>6} {'t/Fcycle':>10} {'Mdof/s':>8} {'eff':>6}")
     for g in grids:
         tbase = None
         for npx, npy in meshes:
             if len(jax.devices()) < npx * npy or g % npx or g % npy:
                 continue
-            t = run_one(g, g, args.nz, npx, npy, dtype)
+            t = run_one(g, g, args.nz, npx, npy, dtype, comm=args.comm)
             dofs = g * g * args.nz / t / 1e6
             n = npx * npy
             if tbase is None:

@@ -55,18 +55,31 @@ def main():
         rows[name] = round(time_device_fn(step, carry, iters=iters) * 1e3, 2)
         print(json.dumps({name: rows[name]}), flush=True)
 
+    def feed(s, field):
+        """Inject a scalar dependency on the previous iteration's OUTPUT
+        into an input (a one-element in-place add, free inside the loop) —
+        without it XLA hoists the loop-invariant op out of the timing loop
+        and the row reads ~0."""
+        if isinstance(field, QuadField):
+            qs = list(field.quads)
+            qs[0] = qs[0].at[0, 0, 0].add(s * jnp.asarray(1e-38, s.dtype))
+            return QuadField(qs)
+        return field.at[0, 0, 0].add(s * jnp.asarray(1e-38, s.dtype))
+
     # -- level 0, quad-native hot ops (what the V-cycle runs) --------------
     t("sweep1_q0", lambda c: (c[0], c[0].relax(0, c[1], c[2], 1), c[2]),
       (be, pq, bq))
     t("sweep3_q0", lambda c: (c[0], c[0].relax(0, c[1], c[2], 3), c[2]),
       (be, pq, bq), iters=6)
-    t("rr_q0", lambda c: (c[0], c[1], c[2],
+    t("rr_q0", lambda c: (c[0], feed(c[3].quads[0][0, 0, 0], c[1]), c[2],
                           c[0].residual_restrict(0, c[1], c[2],
                                                  as_quads=True)),
       (be, pq, bq, pcq))
-    t("prolong_q0", lambda c: (c[0], c[1],
+    t("prolong_q0", lambda c: (c[0], feed(c[2].quads[0][0, 0, 0], c[1]),
                                c[0].prolong(0, c[1], as_quads=True)),
       (be, pcq, pq))
+    t("residual_q0", lambda c: (c[0], c[0].residual(0, c[1], c[2]), c[2]),
+      (be, pq, bq))
 
     # -- level 1 (quads are (32, 256, 256)) ---------------------------------
     t("sweep1_q1", lambda c: (c[0], c[0].relax(1, c[1], c[2], 1), c[2]),

@@ -139,3 +139,46 @@ def test_driver_smoke(tmp_path, capsys):
     assert "max |div| after correction" in out
     lines = open(hist).read().strip().splitlines()
     assert float(lines[-1].split()[0]) <= 1e-8
+
+
+def test_profile_fcycle_populates_per_level_table():
+    """The per-(level, section) profile table carries every level's hot
+    sections after one instrumented F-cycle — the reference's per-level
+    accounting (tic/toc inside Fcycle/Vcycle/relax, printed by
+    print_tictoc, mg_tictoc.f90:114-153)."""
+    from mgroms_tpu.utils.tictoc import TicToc, profile_fcycle
+
+    m = _model(16, 16, 16)
+    u, v, w = initial_velocities(16, 16, 16)
+    b = m.rhs(u, v, w)
+    tt = profile_fcycle(m.backend, b, m.cfg, device_timer=False,
+                        tictoc=TicToc())
+
+    levs = sorted({k[0] for k in tt.table})
+    assert len(levs) == m.backend.nlevs       # every level appears
+    # level 0 brackets the cycle's own sections
+    for sec in ("relax", "prolong"):
+        t, c = tt.table[(0, sec)]
+        assert c >= 1 and t > 0.0
+    # some level restricts (fused or not) and the coarsest relaxes
+    assert any(k[1] in ("restrict", "residual_restrict") for k in tt.table)
+    t, c = tt.table[(m.backend.nlevs - 1, "relax")]
+    assert c >= 1 and t > 0.0
+    # the report renders one row per level
+    rep = tt.report()
+    assert len(rep.strip().splitlines()) == 1 + len(levs)
+
+
+def test_driver_profile_flag(tmp_path, capsys):
+    """--profile prints the reference-style multi-level table after the
+    solve (drivers/common.py)."""
+    from mgroms_tpu.drivers.seamount import main
+    os.chdir(tmp_path)
+    main(["--nx", "16", "--ny", "16", "--nz", "16", "--cpu",
+          "--tol", "1e-4", "--maxiter", "5", "--profile"])
+    out = capsys.readouterr().out
+    assert "relax" in out
+    # at least 3 levels of rows in the printed table
+    table_lines = [l for l in out.splitlines()
+                   if l.strip()[:1].isdigit() and "s/" in l]
+    assert len(table_lines) >= 3
