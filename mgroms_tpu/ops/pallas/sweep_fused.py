@@ -45,7 +45,9 @@ from ..relax_compact import (_BASE_TERMS, _REAL_TERMS, _TKEYS, CompactPack,
                              _kshift, extend_quads, quad_ext_bands)
 
 VMEM_LIMIT = 128 * 1024 * 1024
-_PICK_BUDGET = 116 * 1024 * 1024
+# calibrated against Mosaic's own VMEM report at CUC level-0 shapes (the
+# tier model below matched its 137.6 MiB to 0.3%); leave ~2.5 MiB headroom
+_PICK_BUDGET = 126 * 1024 * 1024
 
 _TI = {t: i for i, t in enumerate(_TKEYS)}
 _COLOR0 = ((0, 0), (1, 1))     # (i + j) even — updated first (phase 0)
@@ -58,11 +60,21 @@ def _roundup8(n: int) -> int:
 
 
 def _pick_tj(H: int, nz: int, W: int, itemsize: int, band_itemsize: int):
-    """Row tile and band-window buffering.  VMEM: 4 state (double-buffered)
-    + 24 band Element windows (wpad_s rows), the phase-0 targets' 8
+    """Row tile and pipeline buffering.  VMEM: 4 state Element windows +
+    24 band Element windows (wpad_s rows), the phase-0 targets' 8
     tridiag/rhs windows (wpad_t, single-buffered), the phase-1 targets' 8
-    aligned blocks (double-buffered), 4 outputs, ~14 tile-sized temps
-    (gather accumulator, phase-0 values, unrolled-Thomas state)."""
+    aligned blocks, 4 outputs, 4 e1 scratch tiles, ~14 tile-sized temps
+    (gather accumulator, phase-0 values, unrolled-Thomas state).
+
+    Returns (tj, band_buf, state_buf, block_buf, out_buf).  Buffering tiers
+    are dropped from the most traffic-heavy stream last: double-buffered
+    everything, then single-buffer bands, then the phase-1 blocks, then the
+    state windows, then the outputs (the largest shapes still fit fully
+    serialized — the kernel stays a big win over two per-color passes even
+    without overlap, relax_tiled streams every band twice).  The temp count
+    (28 tile-sized live values: gather accumulator, band_read temps,
+    phase-0 values, unrolled-Thomas state) is calibrated against Mosaic's
+    VMEM report at CUC level-0 shapes."""
     We = W + 2
     for cand in (16, 8):
         if H % cand:
@@ -72,12 +84,16 @@ def _pick_tj(H: int, nz: int, W: int, itemsize: int, band_itemsize: int):
         bw = nz * ws * We * band_itemsize
         tw = nz * wt * W * itemsize
         blk = nz * cand * W * itemsize
-        for bbuf in (2, 1):
-            need = (4 * 2 * sw + 24 * bbuf * bw + 8 * tw
-                    + 8 * 2 * blk + 4 * blk + 14 * blk)
+        scr = nz * _roundup8(cand + 2) * We * itemsize     # 4 e1 scratch
+        for bbuf, sbuf, kbuf, obuf in ((2, 2, 2, 2), (1, 2, 2, 2),
+                                       (1, 2, 1, 2), (1, 1, 1, 2),
+                                       (1, 1, 1, 1)):
+            need = (4 * sbuf * sw + 24 * bbuf * bw + 8 * tw
+                    + 8 * kbuf * blk + 4 * obuf * blk + 28 * blk
+                    + 4 * scr)
             if need <= _PICK_BUDGET:
-                return cand, bbuf
-    return None, None
+                return cand, bbuf, sbuf, kbuf, obuf
+    return None, None, None, None, None
 
 
 def supports(nz: int, H: int, W: int, itemsize: int = 4,
@@ -121,7 +137,7 @@ def build_sweep_operator(cA: jnp.ndarray, pack: CompactPack, nz: int,
     extended band stack (8, nz, ny+2, nx+2); ``pack`` is kept for the
     Thomas pivots at relax time."""
     bd = jnp.dtype(band_dtype) if band_dtype is not None else cA.dtype
-    tj, _ = _pick_tj(H, nz, W, itemsize, bd.itemsize)
+    tj = _pick_tj(H, nz, W, itemsize, bd.itemsize)[0]
     if tj is None:
         return None
     hs = H - tj + _roundup8(tj + 4)      # padded rows, state/band geometry
@@ -143,8 +159,10 @@ def _kernel(*refs, tj, real_matrix, band_lp):
     c1 = {t: {"bet": refs[36 + i], "gam": refs[38 + i], "ud": refs[40 + i],
               "bq": refs[42 + i]} for i, t in enumerate(_COLOR1)}
     outs = refs[44:48]
+    scratch = refs[48:]
     nz = outs[0].shape[0]
     W = outs[0].shape[2]
+    We = W + 2
     dt = outs[0].dtype
     k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
           ).astype(dt) if real_matrix else None
@@ -197,49 +215,61 @@ def _kernel(*refs, tj, real_matrix, band_lp):
         outs[_TI[t]][:] = p0[t][:, 1: tj + 1, :]
 
     # -- phase 1 (color 1) on rows [J0, J0+TJ) ------------------------------
-    # e1: color-0 quads in halo-extended tile form.  Interior = the in-VMEM
-    # phase-0 values (incl. the overhang rows); x-halos and the first/last
-    # tile's out-of-domain row come from the PRE-sweep windows — the mirror
-    # rule maps them to color-1 points, untouched by phase 0.
+    # e1: color-0 quads in halo-extended tile form, materialized in VMEM
+    # SCRATCH via stores (in-kernel lane-dim concatenate does not lower —
+    # Mosaic "offset mismatch on non-concat dimension").  Interior = the
+    # in-VMEM phase-0 values (incl. the overhang rows); x-halos and the
+    # first/last tile's out-of-domain row come from the PRE-sweep windows —
+    # the mirror rule maps them to color-1 points, untouched by phase 0.
     i = pl.program_id(0)
     first = i == 0
     last = i == pl.num_programs(0) - 1
-    riota = jax.lax.broadcasted_iota(jnp.int32, (1, n0, 1), 1)
-    e1 = {}
+    scr = {(0, 0): scratch[0], (1, 1): scratch[1]}
     for t in _COLOR0:
-        swt = sw[t]
-        core = jnp.concatenate(
-            [swt[:, 1: n0 + 1, :1], p0[t], swt[:, 1: n0 + 1, -1:]], axis=2)
+        swt, s = sw[t], scr[t]
+        s[:, :, 1: W + 1] = p0[t]
+        s[:, :, 0:1] = swt[:, 1: n0 + 1, 0:1]
+        s[:, :, W + 1: We] = swt[:, 1: n0 + 1, We - 1: We]
         if t == (1, 1):
             # row J0-1 at the first tile is the j=-1 halo
-            core = jnp.where((riota == 0) & first, swt[:, 1:2, :], core)
+            @pl.when(first)
+            def _fix_first(swt=swt, s=s):
+                s[:, 0:1, :] = swt[:, 1:2, :We]
         else:
             # row J0+TJ at the last tile is the j=ny halo
-            core = jnp.where((riota == n0 - 1) & last,
-                             swt[:, n0: n0 + 1, :], core)
-        e1[t] = core
+            @pl.when(last)
+            def _fix_last(swt=swt, s=s):
+                s[:, n0 - 1: n0, :] = swt[:, n0: n0 + 1, :We]
 
     # the real-matrix diagonal terms read the color-1 SIBLING: interior
     # values are pre-color (the documented same-color-read deviation), but
     # its halo ring mirrors to COLOR-0 points — post-phase-0 values.  The
-    # patched halo column/row is exactly a column/row of the e1 arrays.
+    # patched halo column/row is exactly a column/row of the e1 scratch.
     if real_matrix:
         s10, s01 = sw[(1, 0)], sw[(0, 1)]
-        e10 = jnp.concatenate(
-            [s10[:, 1: n0 + 1, : W + 1], e1[(1, 1)][:, :, W: W + 1]], axis=2)
-        e10 = jnp.where((riota == 0) & first, e1[(0, 0)][:, 1:2, :], e10)
-        e01 = jnp.concatenate(
-            [e1[(0, 0)][:, :, 1:2], s01[:, 1: n0 + 1, 1: W + 2]], axis=2)
-        e01 = jnp.where((riota == n0 - 1) & last,
-                        e1[(1, 1)][:, n0 - 2: n0 - 1, :], e01)
-        e1[(1, 0)], e1[(0, 1)] = e10, e01
+        e10, e01 = scratch[2], scratch[3]
+        e10[:, :, 0: W + 1] = s10[:, 1: n0 + 1, 0: W + 1]
+        e10[:, :, W + 1: We] = scr[(1, 1)][:, :, W: W + 1]
+
+        @pl.when(first)
+        def _fix_e10():
+            e10[:, 0:1, :] = scr[(0, 0)][:, 1:2, :]
+
+        e01[:, :, 1: We] = s01[:, 1: n0 + 1, 1: We]
+        e01[:, :, 0:1] = scr[(0, 0)][:, :, 1:2]
+
+        @pl.when(last)
+        def _fix_e01():
+            e01[:, n0 - 1: n0, :] = scr[(1, 1)][:, n0 - 2: n0 - 1, :]
+
+        scr[(1, 0)], scr[(0, 1)] = e10, e01
 
     def read_p1(poff, a, b):
         pk, pj, pi = poff
         kp = ((a + pj) % 2, (b + pi) % 2)
         rj = (a + pj - kp[0]) // 2
         ri = (b + pi - kp[1]) // 2
-        x = e1[kp][:, rj + 1: rj + 1 + tj, 1 + ri: 1 + ri + W]
+        x = scr[kp][:, rj + 1: rj + 1 + tj, 1 + ri: 1 + ri + W]
         return _kshift(x, pk)
 
     for t in _COLOR1:
@@ -263,8 +293,9 @@ def _sweep_once(eP: tuple, sop: SweepOperator, t0: tuple, t1: tuple,
     ws, wt = _roundup8(tj + 4), _roundup8(tj + 2)
     H = t1[-1].shape[1]
     band_lp = sop.ebands[0].dtype != eP[0].dtype
-    _, bbuf = _pick_tj(H, nz, W, jnp.dtype(eP[0].dtype).itemsize,
-                       jnp.dtype(sop.ebands[0].dtype).itemsize)
+    _, bbuf, sbuf, kbuf, obuf = _pick_tj(
+        H, nz, W, jnp.dtype(eP[0].dtype).itemsize,
+        jnp.dtype(sop.ebands[0].dtype).itemsize)
 
     def win(lead, rows, cols, buf):
         return pl.BlockSpec((pl.Element(lead), pl.Element(rows),
@@ -276,9 +307,9 @@ def _sweep_once(eP: tuple, sop: SweepOperator, t0: tuple, t1: tuple,
     def blk(lead):
         return pl.BlockSpec((lead, tj, W), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM,
-                            pipeline_mode=pl.Buffered(2))
+                            pipeline_mode=pl.Buffered(kbuf))
 
-    in_specs = ([win(nz, ws, We, 2) for _ in range(4)]
+    in_specs = ([win(nz, ws, We, sbuf) for _ in range(4)]
                 + [win(nz, ws, We, bbuf) for _ in range(24)]
                 + [win(nz, wt, W, 1) for _ in range(2)]        # bet (p0)
                 + [win(nz - 1, wt, W, 1) for _ in range(4)]    # gam, ud
@@ -288,13 +319,17 @@ def _sweep_once(eP: tuple, sop: SweepOperator, t0: tuple, t1: tuple,
                    blk(nz - 1), blk(nz - 1),                   # ud
                    blk(nz), blk(nz)])                          # bq
     out_spec = pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(obuf))
     kern = functools.partial(_kernel, tj=tj, real_matrix=real_matrix,
                              band_lp=band_lp)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT)
+    # VMEM scratch for the phase-1 halo-extended color-0 tiles (e1) and,
+    # under cmatrix='real', the patched color-1 sibling tiles
+    nscr = 4 if real_matrix else 2
     outs = pl.pallas_call(
         kern,
         out_shape=[jax.ShapeDtypeStruct((nz, H, W), eP[0].dtype)
@@ -302,6 +337,8 @@ def _sweep_once(eP: tuple, sop: SweepOperator, t0: tuple, t1: tuple,
         grid=(H // tj,),
         in_specs=in_specs,
         out_specs=[out_spec] * 4,
+        scratch_shapes=[pltpu.VMEM((nz, tj + 2, We), eP[0].dtype)
+                        for _ in range(nscr)],
         interpret=interpret,
         **kwargs,
     )(*eP, *sop.ebands, *t0, *t1)
