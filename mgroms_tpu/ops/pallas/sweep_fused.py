@@ -98,7 +98,13 @@ def _pick_tj(H: int, nz: int, W: int, itemsize: int, band_itemsize: int):
 
 def supports(nz: int, H: int, W: int, itemsize: int = 4,
              band_itemsize: int = 4) -> bool:
-    return _pick_tj(H, nz, W, itemsize, band_itemsize)[0] is not None
+    """True when the fused sweep both fits VMEM and keeps the state
+    windows double-buffered.  The fully-serialized tier (sbuf == 1) fits
+    but LOSES to the per-color tiled path on hardware (measured at CUC
+    level 0: 15.8 ms/sweep vs 13.3 tiled — no DMA/compute overlap), so it
+    is not offered; bf16 bands restore the headroom there."""
+    tj, _, sbuf, _, _ = _pick_tj(H, nz, W, itemsize, band_itemsize)
+    return tj is not None and sbuf >= 2
 
 
 class SweepOperator(NamedTuple):
@@ -137,6 +143,8 @@ def build_sweep_operator(cA: jnp.ndarray, pack: CompactPack, nz: int,
     extended band stack (8, nz, ny+2, nx+2); ``pack`` is kept for the
     Thomas pivots at relax time."""
     bd = jnp.dtype(band_dtype) if band_dtype is not None else cA.dtype
+    if not supports(nz, H, W, itemsize, bd.itemsize):
+        return None
     tj = _pick_tj(H, nz, W, itemsize, bd.itemsize)[0]
     if tj is None:
         return None
