@@ -102,7 +102,13 @@ def supports(nz: int, H: int, W: int, itemsize: int = 4,
     windows double-buffered.  The fully-serialized tier (sbuf == 1) fits
     but LOSES to the per-color tiled path on hardware (measured at CUC
     level 0: 15.8 ms/sweep vs 13.3 tiled — no DMA/compute overlap), so it
-    is not offered; bf16 bands restore the headroom there."""
+    is not offered.  bf16 bands DO restore the double-buffered fit at CUC
+    level 0 and measure 117 ms/F-cycle (vs 130.5 f32) — but they BREAK
+    convergence (rel residual 0.168 after 6 F-cycles vs 5.1e-05): rounding
+    the gather bands to 8-bit mantissas while the Thomas pivots keep the
+    f32 diagonal destroys the row-sum consistency (diag = −Σ off-diags,
+    mg_define_matrix.f90) the smoother's contraction depends on.
+    ``fused_bands_bf16`` therefore stays opt-in/experimental."""
     tj, _, sbuf, _, _ = _pick_tj(H, nz, W, itemsize, band_itemsize)
     return tj is not None and sbuf >= 2
 

@@ -39,7 +39,10 @@ def main():
                     help="disable the color-fused sweep kernel "
                          "(ops/pallas/sweep_fused)")
     ap.add_argument("--bf16-bands", action="store_true",
-                    help="store the fused-sweep gather bands in bfloat16")
+                    help="store the fused-sweep gather bands in bfloat16 "
+                         "(EXPERIMENTAL: 117 vs 130.5 ms/F-cycle at CUC "
+                         "scale but breaks smoother convergence — see "
+                         "ops/pallas/sweep_fused.supports docstring)")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--coarsest", default="direct")
     ap.add_argument("--tridiag", default="thomas", choices=["thomas", "pcr"])
