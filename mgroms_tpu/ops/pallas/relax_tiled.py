@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -37,6 +38,11 @@ from ..relax_compact import (_FC_TARGETS, _RB_TARGETS, _TKEYS, CompactPack,
                              _kshift, build_compact_pack, extend_quads,
                              gather_blocks, gather_keys, merge_quads,
                              split_quads)
+
+_z = np.int32(0)   # index maps must return i32: literal ints trace as
+                   # i64 under jax_enable_x64 (refine pairs an f64 host
+                   # model with the f32 TPU solve) and Mosaic fails to
+                   # legalize the i64 func.return
 
 VMEM_LIMIT = 128 * 1024 * 1024
 _PICK_BUDGET = 100 * 1024 * 1024
@@ -130,12 +136,12 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
         # VMEM; single-buffering serialized the window DMA behind compute
         return pl.BlockSpec((pl.Element(nz), pl.Element(wpad),
                              pl.Element(W + 2)),
-                            lambda i: (0, i * tj, 0),
+                            lambda i: (_z, i * tj, _z),
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(2))
 
     def blk_spec(lead):
-        return pl.BlockSpec((lead, tj, W), lambda i: (0, i, 0),
+        return pl.BlockSpec((lead, tj, W), lambda i: (_z, i, _z),
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(2))
 
@@ -148,14 +154,14 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
     in_specs = ([win_spec() for _ in range(3)]
                 + [blk_spec(nz) for _ in range(nkeys)]
                 + [blk_spec(nz - 1), blk_spec(nz), blk_spec(nz - 1),
-                   pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
+                   pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                                 memory_space=pltpu.VMEM)])
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nz, H, W), bq_t.dtype),
         grid=(H // tj,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,
@@ -209,12 +215,12 @@ def _rr_one(e4: tuple, bq_t, blocks_t: tuple, d_t, ud_t, target,
     def win_spec():
         return pl.BlockSpec((pl.Element(nz), pl.Element(wpad),
                              pl.Element(W + 2)),
-                            lambda i: (0, i * tj, 0),
+                            lambda i: (_z, i * tj, _z),
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(2))
 
     def blk_spec(lead):
-        return pl.BlockSpec((lead, tj, W), lambda i: (0, i, 0),
+        return pl.BlockSpec((lead, tj, W), lambda i: (_z, i, _z),
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(2))
 
@@ -227,14 +233,14 @@ def _rr_one(e4: tuple, bq_t, blocks_t: tuple, d_t, ud_t, target,
     in_specs = ([win_spec() for _ in range(4)]
                 + [blk_spec(nz) for _ in range(nkeys)]
                 + [blk_spec(nz), blk_spec(nz - 1),
-                   pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
+                   pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                                 memory_space=pltpu.VMEM)])
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nz // 2, H, W), bq_t.dtype),
         grid=(H // tj,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((nz // 2, tj, W), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((nz // 2, tj, W), lambda i: (_z, i, _z),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,

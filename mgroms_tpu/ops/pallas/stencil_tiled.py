@@ -24,10 +24,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import stencil
+
+_z = np.int32(0)   # index maps must return i32: literal ints trace as
+                   # i64 under jax_enable_x64 (refine pairs an f64 host
+                   # model with the f32 TPU solve) and Mosaic fails to
+                   # legalize the i64 func.return
 
 VMEM_LIMIT = 128 * 1024 * 1024
 # picker budget: measured Mosaic usage runs ~1.5x the naive field-count
@@ -101,18 +107,18 @@ def residual_tiled(pe: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
             # windowed inputs: all dims Element (Mosaic requires all-or-none)
             pl.BlockSpec((pl.Element(nz), pl.Element(wpad),
                           pl.Element(nxe)),
-                         lambda i: (0, i * tj, 0),
+                         lambda i: (_z, i * tj, _z),
                          memory_space=pltpu.VMEM,
                          pipeline_mode=pl.Buffered(1)),
-            pl.BlockSpec((nz, tj, nx), lambda i: (0, i, 0),
+            pl.BlockSpec((nz, tj, nx), lambda i: (_z, i, _z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pl.Element(8), pl.Element(nz), pl.Element(wpad),
                           pl.Element(nxe)),
-                         lambda i: (0, 0, i * tj, 0),
+                         lambda i: (_z, _z, i * tj, _z),
                          memory_space=pltpu.VMEM,
                          pipeline_mode=pl.Buffered(1)),
         ],
-        out_specs=pl.BlockSpec((nz, tj, nx), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((nz, tj, nx), lambda i: (_z, i, _z),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,

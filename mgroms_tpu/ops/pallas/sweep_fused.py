@@ -37,12 +37,18 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..relax import thomas_factored_unrolled
 from ..relax_compact import (_BASE_TERMS, _REAL_TERMS, _TKEYS, CompactPack,
                              _kshift, extend_quads, quad_ext_bands)
+
+_z = np.int32(0)   # index maps must return i32: literal ints trace as
+                   # i64 under jax_enable_x64 (refine pairs an f64 host
+                   # model with the f32 TPU solve) and Mosaic fails to
+                   # legalize the i64 func.return
 
 VMEM_LIMIT = 128 * 1024 * 1024
 # calibrated against Mosaic's own VMEM report at CUC level-0 shapes (the
@@ -314,12 +320,12 @@ def _sweep_once(eP: tuple, sop: SweepOperator, t0: tuple, t1: tuple,
     def win(lead, rows, cols, buf):
         return pl.BlockSpec((pl.Element(lead), pl.Element(rows),
                              pl.Element(cols)),
-                            lambda i: (0, i * tj, 0),
+                            lambda i: (_z, i * tj, _z),
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(buf))
 
     def blk(lead):
-        return pl.BlockSpec((lead, tj, W), lambda i: (0, i, 0),
+        return pl.BlockSpec((lead, tj, W), lambda i: (_z, i, _z),
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(kbuf))
 
@@ -332,7 +338,7 @@ def _sweep_once(eP: tuple, sop: SweepOperator, t0: tuple, t1: tuple,
                    blk(nz - 1), blk(nz - 1),                   # gam
                    blk(nz - 1), blk(nz - 1),                   # ud
                    blk(nz), blk(nz)])                          # bq
-    out_spec = pl.BlockSpec((nz, tj, W), lambda i: (0, i, 0),
+    out_spec = pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(obuf))
     kern = functools.partial(_kernel, tj=tj, real_matrix=real_matrix,
