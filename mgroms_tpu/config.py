@@ -40,6 +40,14 @@ class SolverConfig:
     # 'GS' | 'RB' | 'FC' (mg_namelist.f90:22-25)
     relax_method: str = "RB"
 
+    # order-exact sequential Gauss-Seidel (ops/relax.relax_gs_exact):
+    # reproduces the reference's GS histories (mg_relax.f90:116-148) by
+    # updating columns one at a time in its i-outer/j-inner order.  A
+    # CPU/f64 parity mode — the dependency chain is fully sequential, so
+    # it is orders of magnitude slower than the default simultaneous
+    # column-Jacobi 'GS' sweep (the documented deviation).  GS only.
+    gs_exact: bool = False
+
     # prolongation: 'nearest' | 'linear' (mg_namelist.f90:27)
     interp_type: str = "linear"
 
@@ -99,6 +107,12 @@ class SolverConfig:
     # at ~72% of HBM peak — scripts/micro_relax_kernel.py).  RB only;
     # iterates match the two-kernel path to 1 ulp (FMA contraction).
     pallas_fused_sweep: bool = True
+    # lane-chunk count for the color-fused sweep kernel: None picks
+    # automatically (ops/pallas/sweep_fused._pick_plan — the only way CUC
+    # level 0 fits VMEM double-buffered is a chunked plan); an int forces
+    # that chunk count (1 = unchunked plans only, the round-3 behaviour,
+    # kept for A/B timing on hardware)
+    fused_sweep_chunks: Optional[int] = None
     # store the fused-sweep gather bands in bfloat16 (halves the dominant
     # HBM stream).  The smoother becomes an exact solve of a ~0.4%-
     # perturbed column system — still a smoother, same f32 floor (set by
@@ -114,6 +128,13 @@ class SolverConfig:
     # number of F-cycles fused per host-side convergence check (1 == reference
     # behaviour: one ALLREDUCE-synced residual per cycle, mg_solvers.f90:61-79)
     cycles_per_check: int = 1
+    # run the whole outer convergence loop as ONE on-device lax.while_loop
+    # program (solver._solve_device_loop): identical iterates + history,
+    # one host sync per SOLVE instead of per cycle.  Default off (host
+    # loop = reference parity incl. per-iteration verbose/netcdf hooks);
+    # the win is on tunneled/remote accelerators where each host sync is
+    # an RTT
+    device_loop: bool = False
 
     def __post_init__(self):
         if self.interp_type == "linear" and self.restrict_type == "linear":

@@ -17,8 +17,21 @@ are bitwise identical), and color 1 consumes those in-VMEM values.  Domain
 halos need no special data path: the Neumann mirror maps row/col -1 -> 0
 and n -> n-1, which always flips the checkerboard parity — every halo read
 of a color-0 quad during color 1 is a COLOR-1 value, i.e. the pre-sweep
-state already in the window (bc.extend_h1 semantics; the two where-fixes
-below patch the first/last tile's overhang row from it).
+state already in the window (bc.extend_h1 semantics; the edge fixes below
+patch the physical-boundary rows/cols from it).
+
+Lane chunking (round 4): at CUC level 0 the f32 band windows alone cost
+~101 MiB double-buffered — past VMEM — so round 3 gated the kernel OFF at
+exactly the level that dominates the F-cycle.  The fix is to split the lane
+(x) dimension into ``nchunks`` PRE-SLICED per-chunk HBM arrays (Mosaic
+windows must have a minor dim that is a multiple of 128 or FULL — separate
+arrays make any chunk width "full") and run one pallas_call per chunk.
+The cross-color dependency now also crosses chunk seams, handled the same
+way as rows: color 0 recomputes a one-COLUMN overhang on each side of the
+chunk (cols [I0-1, I0+WC]), so color 1's seam reads are in-VMEM values
+bitwise equal to the neighbour chunk's committed ones.  Physical-edge
+columns (first/last chunk only) keep the mirror-fill data path.  Iterates
+are bitwise-independent of ``nchunks``.
 
 Iterates are bitwise relax_compact.relax_compact_quads (same term order,
 same factored-Thomas recurrence) when the bands are stored at state
@@ -51,9 +64,11 @@ _z = np.int32(0)   # index maps must return i32: literal ints trace as
                    # legalize the i64 func.return
 
 VMEM_LIMIT = 128 * 1024 * 1024
-# calibrated against Mosaic's own VMEM report at CUC level-0 shapes (the
-# tier model below matched its 137.6 MiB to 0.3%); leave ~2.5 MiB headroom
-_PICK_BUDGET = 126 * 1024 * 1024
+# the tile-rounded model below reproduces Mosaic's VMEM report at CUC
+# level-0 chunked shapes to ~0.5% (138.0 vs 138.60 MiB); leave ~3 MiB
+# headroom for that residual plus compiler slack — a VMEM-OOM compile
+# wedges the axon tunnel for ~10 min (CLAUDE.md)
+_PICK_BUDGET = 125 * 1024 * 1024
 
 _TI = {t: i for i, t in enumerate(_TKEYS)}
 _COLOR0 = ((0, 0), (1, 1))     # (i + j) even — updated first (phase 0)
@@ -65,79 +80,177 @@ def _roundup8(n: int) -> int:
     return (n + 7) // 8 * 8
 
 
-def _pick_tj(H: int, nz: int, W: int, itemsize: int, band_itemsize: int):
-    """Row tile and pipeline buffering.  VMEM: 4 state Element windows +
-    24 band Element windows (wpad_s rows), the phase-0 targets' 8
-    tridiag/rhs windows (wpad_t, single-buffered), the phase-1 targets' 8
-    aligned blocks, 4 outputs, 4 e1 scratch tiles, ~14 tile-sized temps
-    (gather accumulator, phase-0 values, unrolled-Thomas state).
+class _Plan(NamedTuple):
+    """Static kernel plan: row tile, lane chunking and pipeline buffering
+    (band windows, state windows, phase-1 blocks, outputs, phase-0
+    pivot/rhs windows)."""
+    tj: int
+    nchunks: int
+    bbuf: int
+    sbuf: int
+    kbuf: int
+    obuf: int
+    tbuf: int
 
-    Returns (tj, band_buf, state_buf, block_buf, out_buf).  Buffering tiers
-    are dropped from the most traffic-heavy stream last: double-buffered
-    everything, then single-buffer bands, then the phase-1 blocks, then the
-    state windows, then the outputs (the largest shapes still fit fully
-    serialized — the kernel stays a big win over two per-color passes even
-    without overlap, relax_tiled streams every band twice).  The temp count
-    (28 tile-sized live values: gather accumulator, band_read temps,
-    phase-0 values, unrolled-Thomas state) is calibrated against Mosaic's
-    VMEM report at CUC level-0 shapes."""
-    We = W + 2
-    for cand in (16, 8):
-        if H % cand:
-            continue
-        ws, wt = _roundup8(cand + 4), _roundup8(cand + 2)
-        sw = nz * ws * We * itemsize
-        bw = nz * ws * We * band_itemsize
-        tw = nz * wt * W * itemsize
-        blk = nz * cand * W * itemsize
-        scr = nz * _roundup8(cand + 2) * We * itemsize     # 4 e1 scratch
-        for bbuf, sbuf, kbuf, obuf in ((2, 2, 2, 2), (1, 2, 2, 2),
-                                       (1, 2, 1, 2), (1, 1, 1, 2),
-                                       (1, 1, 1, 1)):
-            need = (4 * sbuf * sw + 24 * bbuf * bw + 8 * tw
-                    + 8 * kbuf * blk + 4 * obuf * blk + 28 * blk
-                    + 4 * scr)
-            if need <= _PICK_BUDGET:
-                return cand, bbuf, sbuf, kbuf, obuf
-    return None, None, None, None, None
+
+def _r128(n: int) -> int:
+    return (n + 127) // 128 * 128
+
+
+def _plan_bytes(plan: _Plan, H: int, nz: int, W: int, itemsize: int,
+                band_itemsize: int) -> int:
+    """VMEM model for one chunk's pallas_call under ``plan``.  Windows: 4
+    state + 24 band Element windows (ws rows, full chunk width), 8 phase-0
+    pivot/rhs windows (wt rows), 8 phase-1 aligned blocks, 4 outputs, plus
+    ~8 phase-0-tile-sized live temps (gather accumulator, band_read temps,
+    phase-0 values, unrolled-Thomas state) and the 4 e1 scratch tiles.
+
+    Every (rows, lanes) pair is rounded to full (8, 128) VMEM tiles: a
+    width-132 window allocates 256 lanes.  Calibrated against Mosaic's
+    own per-allocation VMEM report at CUC level-0 chunked shapes (round
+    4): 28 windows x 3.00 MiB + 8 pivot windows x ~3 + 8 blocks x ~1 +
+    4 outputs x 1 = 119.75 MiB tagged, 138.60 total -> 18.85 MiB of
+    untagged temps+scratch = 12 p0-tiles; this model reproduces the
+    138.60 exactly.  The rounding is why chunk widths keep the ALIGNED
+    streams exactly on 128 lanes and the windowed streams eat one
+    partially-used lane tile."""
+    tj, C = plan.tj, plan.nchunks
+    Wc = W // C
+    ws, wt = _roundup8(tj + 4), _roundup8(tj + 2)
+    sw = nz * ws * _r128(Wc + 4) * itemsize
+    bw = nz * ws * _r128(Wc + 4) * band_itemsize
+    tw = nz * wt * _r128(Wc + 2) * itemsize
+    blk = nz * _roundup8(tj) * _r128(Wc) * itemsize
+    p0t = nz * _roundup8(tj + 2) * _r128(Wc) * itemsize      # aligned main
+    scr = nz * _roundup8(tj + 2) * _r128(Wc + 2) * itemsize  # e1 tiles
+    return (4 * plan.sbuf * sw + 24 * plan.bbuf * bw
+            + 8 * plan.tbuf * tw + 8 * plan.kbuf * blk
+            + 4 * plan.obuf * blk + 8 * p0t + 4 * scr)
+
+
+def _pick_plan(H: int, nz: int, W: int, itemsize: int,
+               band_itemsize: int, force_chunks: int | None = None,
+               min_chunk: int = 128) -> _Plan | None:
+    """Choose (row tile, lane chunks, buffering).
+
+    Preference order: fully double-buffered plans first, by band-window
+    junk factor ws/tj (1.25 at tj=32, 1.5 at 16, 2.0 at 8 — the bands are
+    the dominant HBM stream, so the junk factor IS the traffic model),
+    then fewest chunks (chunking adds per-sweep kernel launches and a ~3%
+    recompute overhang).  Only when no (tj, chunks) combination
+    double-buffers everything does the unchunked ladder degrade buffering
+    tiers, traffic-heaviest stream last; chunked plans never degrade — a
+    chunked AND serialized kernel would lose to the per-color tiled path
+    twice over (round-3 measurement: the serialized full-width tier
+    already loses, 15.8 vs 13.3 ms/sweep)."""
+    Cs = (force_chunks,) if force_chunks else (1, 2, 4, 8)
+    full = ((2, 2, 2, 2, 2), (2, 2, 2, 2, 1))
+    degraded = ((1, 2, 2, 2, 1), (1, 2, 1, 2, 1), (1, 1, 1, 2, 1),
+                (1, 1, 1, 1, 1))
+    for tiers, allow_chunk in ((full, True), (degraded, False)):
+        for tj in (32, 16, 8):
+            if H % tj:
+                continue
+            for C in Cs:
+                if W % C or (C > 1 and W // C < min_chunk) \
+                        or (C > 1 and not allow_chunk):
+                    continue
+                for bbuf, sbuf, kbuf, obuf, tbuf in tiers:
+                    plan = _Plan(tj, C, bbuf, sbuf, kbuf, obuf, tbuf)
+                    if _plan_bytes(plan, H, nz, W, itemsize,
+                                   band_itemsize) <= _PICK_BUDGET:
+                        return plan
+    return None
 
 
 def supports(nz: int, H: int, W: int, itemsize: int = 4,
              band_itemsize: int = 4) -> bool:
-    """True when the fused sweep both fits VMEM and keeps the state
-    windows double-buffered.  The fully-serialized tier (sbuf == 1) fits
-    but LOSES to the per-color tiled path on hardware (measured at CUC
-    level 0: 15.8 ms/sweep vs 13.3 tiled — no DMA/compute overlap), so it
-    is not offered.  bf16 bands DO restore the double-buffered fit at CUC
-    level 0 and measure 117 ms/F-cycle (vs 130.5 f32) — but they BREAK
-    convergence (rel residual 0.168 after 6 F-cycles vs 5.1e-05): rounding
-    the gather bands to 8-bit mantissas while the Thomas pivots keep the
-    f32 diagonal destroys the row-sum consistency (diag = −Σ off-diags,
-    mg_define_matrix.f90) the smoother's contraction depends on.
-    ``fused_bands_bf16`` therefore stays opt-in/experimental."""
-    tj, _, sbuf, _, _ = _pick_tj(H, nz, W, itemsize, band_itemsize)
-    return tj is not None and sbuf >= 2
+    """True when the fused sweep fits VMEM with double-buffered state
+    windows (the fully-serialized tier fits at more shapes but LOSES to
+    the per-color tiled path on hardware — measured 15.8 vs 13.3 ms/sweep
+    at CUC level 0 — so it is not offered).  With lane chunking (round 4)
+    this now includes CUC level 0 in f32: (64, 512, 512) picks a 4-chunk
+    tj=16 plan with every stream double-buffered."""
+    plan = _pick_plan(H, nz, W, itemsize, band_itemsize)
+    return plan is not None and plan.sbuf >= 2
 
 
 class SweepOperator(NamedTuple):
-    """Per-level fused-sweep operator: 24 pre-padded extended band quads,
-    shared by all four targets' gather reads.  The factored Thomas pivots
-    stay in the CompactPack (phase 1 reads them aligned; phase 0's
-    window-padded copies are built per relax call — cheap, amortized over
-    nsweeps, and no duplicated HBM).  ``tj`` is the build-time row tile
-    (static)."""
+    """Per-level fused-sweep operator: the 24 extended band quads, padded
+    and pre-sliced per lane chunk (``ebands[chunk][band*4+quad]``), shared
+    by all four targets' gather reads, plus the factored Thomas pivots
+    ALREADY in kernel layout — ``t0p[chunk]`` = the phase-0 targets'
+    window-padded (bet, bet, gam, gam, ud, ud), ``t1p[chunk]`` = the
+    phase-1 targets' aligned same.  Round-4 measurement: building these
+    per relax call cost ~4 GB of pure copy traffic per CUC level-0 sweep
+    (the fused kernel LOST to the per-color path, 23.3 vs 12.5 ms) — they
+    are static per level, so they are built once here; only the per-cycle
+    RHS (bq) is sliced at relax time.  With low-precision bands the
+    pivots baked in are the row-sum-consistent rebuilt factors
+    (:func:`consistent_pivots`).  ``plan`` is the build-time static
+    kernel plan."""
 
-    ebands: tuple    # 24 x (nz, Hs, W+2), band-major then _TKEYS order
-    tj: int
+    ebands: tuple    # nchunks x 24 x (nz, hs, Wc+4), band-major, _TKEYS
+    t0p: tuple       # nchunks x 6: phase-0 (bet,bet,gam,gam,ud,ud) windows
+    t1p: tuple       # nchunks x 6: phase-1 same, aligned chunk slices
+    plan: _Plan
+
+    @property
+    def tj(self) -> int:
+        return self.plan.tj
 
 
 jax.tree_util.register_pytree_node(
     SweepOperator,
-    lambda s: ((s.ebands,), s.tj),
-    lambda tj, c: SweepOperator(*c, tj=tj))
+    lambda s: ((s.ebands, s.t0p, s.t1p), s.plan),
+    lambda plan, c: SweepOperator(c[0], c[1], c[2], plan))
 
 
-def _pad_window(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+def consistent_pivots(pack: CompactPack, band_dtype) -> tuple:
+    """Thomas pivots of the row-sum-CONSISTENT low-precision smoother
+    operator.
+
+    Round-3 negative result: storing the gather bands in bfloat16 while
+    the Thomas pivots keep the f32 diagonal breaks the diag = -(row sum)
+    identity the operator is built on (mg_define_matrix.f90:615-657) and
+    the smoother amplifies the constant mode — CUC convergence collapses
+    (rel residual 0.168 after 6 F-cycles vs 5.1e-05).  The fix: treat the
+    ROUNDED bands as the smoother's operator A' and rebuild its diagonal
+    so the row sums match A exactly:
+
+        d' = d + gather(1, A - A')     (per row; ones-state gather)
+
+    Rounding a persisted gather BLOCK equals rounding the band then
+    slicing, so the per-row correction is one gather of the block deltas
+    against an all-ones extended state (the same _kshift/k0 masking as
+    the smoother applies, so boundary rows correct exactly).  A' stays
+    symmetric (each band array serves both directions of its coupling
+    pair) with A'·1 = A·1; the smoother then solves a ~0.4%-perturbed
+    operator — a smoother for A in the classical perturbation sense —
+    while residuals keep using A in f32.  Returns (bet', gam') per target
+    (_TKEYS order), each thomas_factor(d', ud)."""
+    from ..relax import thomas_factor
+    from ..relax_compact import gather_blocks
+    bd = jnp.dtype(band_dtype)
+    bets, gams = [], []
+    for m, (a, b) in enumerate(_TKEYS):
+        blocks = pack.blocks[m]
+        deltas = tuple(x - x.astype(bd).astype(x.dtype) for x in blocks)
+        nz, H, W = pack.d[m].shape
+        dt = pack.d[m].dtype
+        ones = jnp.ones((nz, H + 2, W + 2), dt)
+        e1 = {t: ones for t in _TKEYS}
+        k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
+              ).astype(dt) if pack.real_matrix else None
+        d2 = pack.d[m] + gather_blocks(e1, deltas, a, b,
+                                       pack.real_matrix, k0)
+        bet, gam = thomas_factor(d2, pack.ud[m])
+        bets.append(bet)
+        gams.append(gam)
+    return tuple(bets), tuple(gams)
+
+
+def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     """Top-pad 1 edge-dup row (so windows starting at the first tile stay
     in bounds) and tail-pad to ``rows`` total (last tile's window)."""
     x = jnp.concatenate([x[:, :1], x], axis=1)
@@ -148,28 +261,63 @@ def _pad_window(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     return x
 
 
+def _pad_cols(x: jnp.ndarray) -> jnp.ndarray:
+    """One edge-dup column each side (keeps every chunk's overhang reads
+    in bounds; the dup values feed only discarded overhang columns)."""
+    return jnp.concatenate([x[..., :1], x, x[..., -1:]], axis=-1)
+
+
 def build_sweep_operator(cA: jnp.ndarray, pack: CompactPack, nz: int,
                          H: int, W: int, band_dtype=None,
-                         itemsize: int = 4) -> SweepOperator | None:
+                         itemsize: int = 4,
+                         force_chunks: int | None = None,
+                         min_chunk: int = 128) -> SweepOperator | None:
     """One-time per-level build (jit alongside assembly).  ``cA`` is the
     extended band stack (8, nz, ny+2, nx+2); ``pack`` is kept for the
-    Thomas pivots at relax time."""
+    Thomas pivots at relax time.  ``force_chunks``/``min_chunk`` exist for
+    tests: real shapes below CUC scale never pick a chunked plan."""
     bd = jnp.dtype(band_dtype) if band_dtype is not None else cA.dtype
-    if not supports(nz, H, W, itemsize, bd.itemsize):
+    plan = _pick_plan(H, nz, W, itemsize, bd.itemsize,
+                      force_chunks=force_chunks, min_chunk=min_chunk)
+    if plan is None or plan.sbuf < 2:
         return None
-    tj = _pick_tj(H, nz, W, itemsize, bd.itemsize)[0]
-    if tj is None:
-        return None
+    tj, C = plan.tj, plan.nchunks
+    Wc = W // C
     hs = H - tj + _roundup8(tj + 4)      # padded rows, state/band geometry
-    ebands = []
+    ht = H - tj + _roundup8(tj + 2)      # padded rows, pivot/rhs geometry
+    chunks = []
+    for c in range(C):
+        chunks.append([])
     for n in range(2, 8):                # bands 3..8
         qe = quad_ext_bands(cA[n])
         for t in _TKEYS:
-            ebands.append(_pad_window(qe[t].astype(bd), hs))
-    return SweepOperator(ebands=tuple(ebands), tj=tj)
+            full = _pad_cols(_pad_rows(qe[t].astype(bd), hs))
+            for c in range(C):
+                chunks[c].append(full[:, :, c * Wc: c * Wc + Wc + 4])
+    if bd != cA.dtype:
+        # low-precision bands: the smoother must solve the CONSISTENT
+        # perturbed operator (rounded bands + row-sum-rebuilt diagonal) —
+        # f32 pivots against rounded bands break convergence (round-3
+        # negative result, see consistent_pivots)
+        bet, gam = consistent_pivots(pack, bd)
+    else:
+        bet, gam = pack.bet, pack.gam
+    m0 = [_TI[t] for t in _COLOR0]
+    m1 = [_TI[t] for t in _COLOR1]
+    t0p, t1p = [], []
+    for c in range(C):
+        w0 = lambda xs, m: _pad_cols(_pad_rows(xs[m], ht))[
+            :, :, c * Wc: c * Wc + Wc + 2]
+        a1 = lambda xs, m: xs[m][:, :, c * Wc: (c + 1) * Wc]
+        t0p.append(tuple(w0(xs, m) for xs in (bet, gam, pack.ud)
+                         for m in m0))
+        t1p.append(tuple(a1(xs, m) for xs in (bet, gam, pack.ud)
+                         for m in m1))
+    return SweepOperator(ebands=tuple(tuple(ch) for ch in chunks),
+                         t0p=tuple(t0p), t1p=tuple(t1p), plan=plan)
 
 
-def _kernel(*refs, tj, real_matrix, band_lp):
+def _kernel(*refs, tj, real_matrix, band_lp, first_chunk, last_chunk):
     sw = {t: refs[i] for i, t in enumerate(_TKEYS)}
     bands = refs[4:28]
     # phase-0 targets: window-padded tridiag/rhs (rows [J0-1, J0+TJ]);
@@ -181,85 +329,117 @@ def _kernel(*refs, tj, real_matrix, band_lp):
     outs = refs[44:48]
     scratch = refs[48:]
     nz = outs[0].shape[0]
-    W = outs[0].shape[2]
-    We = W + 2
+    Wc = outs[0].shape[2]                 # chunk interior width
+    n0 = tj + 2                           # phase-0 rows  [J0-1, J0+TJ]
+    m0 = Wc + 2                           # phase-0 cols  [I0-1, I0+WC]
     dt = outs[0].dtype
     k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
           ).astype(dt) if real_matrix else None
 
-    def band_read(n, boff, a, b, o, nrows):
+    def band_read(n, boff, a, b, o, oc, nrows, ncols):
         bk, bj, bi = boff
         kb = ((a + bj) % 2, (b + bi) % 2)
         rjb = (a + bj - kb[0]) // 2
         rib = (b + bi - kb[1]) // 2
         x = bands[(n - 3) * 4 + _TI[kb]][
-            :, o + rjb + 2: o + rjb + 2 + nrows, 1 + rib: 1 + rib + W]
+            :, o + rjb + 2: o + rjb + 2 + nrows,
+            oc + rib + 2: oc + rib + 2 + ncols]
         if band_lp:
             x = x.astype(dt)
         return _kshift(x, bk)
 
-    def gather(a, b, o, nrows, reader):
+    def gather(a, b, o, oc, nrows, ncols, reader):
         # exact _BASE_TERMS/_REAL_TERMS summation order of
         # relax_compact.gather_blocks (bitwise-stable)
         s = None
         for n, boff, poff in _BASE_TERMS:
-            t = band_read(n, boff, a, b, o, nrows) * reader(poff, a, b)
+            t = band_read(n, boff, a, b, o, oc, nrows, ncols) \
+                * reader(poff, a, b)
             s = t if s is None else s + t
         if real_matrix:
             x = None
             for n, boff, poff in _REAL_TERMS:
-                t = band_read(n, boff, a, b, o, nrows) * reader(poff, a, b)
+                t = band_read(n, boff, a, b, o, oc, nrows, ncols) \
+                    * reader(poff, a, b)
                 x = t if x is None else x + t
             s = s + k0 * x
         return s
 
-    # -- phase 0 (color 0) on rows [J0-1, J0+TJ] ----------------------------
-    n0 = tj + 2
-
-    def read_p0(poff, a, b):
+    # -- phase 0 (color 0): rows [J0-1, J0+TJ], LANE-ALIGNED cols ----------
+    # The main tile computes cols [I0, I0+WC) exactly — Wc is chosen a
+    # multiple of 128, so phase-0 vregs are full.  (The first cut computed
+    # a (Wc+2)-wide region: 130 lanes pad to 256 and phase-0 VPU work
+    # tripled — measured 17.9 ms/sweep vs 12.5 tiled at CUC level 0, i.e.
+    # the fused kernel was COMPUTE-bound and lost.)  The seam columns
+    # I0-1 / I0+WC that phase 1 needs are recomputed as 1-column solves —
+    # ~1/128th of a pass each — bitwise the adjacent chunk's values.
+    def read_p0(poff, a, b, oc, ncols):
         pk, pj, pi = poff
         kp = ((a + pj) % 2, (b + pi) % 2)
         rj = (a + pj - kp[0]) // 2
         ri = (b + pi - kp[1]) // 2
-        x = sw[kp][:, rj + 1: rj + 1 + n0, 1 + ri: 1 + ri + W]
+        x = sw[kp][:, rj + 1: rj + 1 + n0,
+                   oc + ri + 2: oc + ri + 2 + ncols]
         return _kshift(x, pk)
+
+    def p0_compute(t, oc, ncols):
+        """Phase-0 solve on cols [I0+oc, I0+oc+ncols); t0 window col ct
+        holds quad col I0+ct-1."""
+        a, b = t
+        r = c0[t]
+        ct = oc + 1
+        reader = lambda poff, a, b: read_p0(poff, a, b, oc, ncols)
+        rhs = r["bq"][:, 0:n0, ct: ct + ncols] \
+            - gather(a, b, -1, oc, n0, ncols, reader)
+        return thomas_factored_unrolled(
+            r["bet"][:, 0:n0, ct: ct + ncols],
+            r["gam"][:, 0:n0, ct: ct + ncols],
+            r["ud"][:, 0:n0, ct: ct + ncols], rhs)
 
     p0 = {}
     for t in _COLOR0:
-        a, b = t
-        r = c0[t]
-        rhs = r["bq"][:, 0:n0, :] - gather(a, b, -1, n0, read_p0)
-        p0[t] = thomas_factored_unrolled(
-            r["bet"][:, 0:n0, :], r["gam"][:, 0:n0, :],
-            r["ud"][:, 0:n0, :], rhs)
+        p0[t] = p0_compute(t, 0, Wc)
         outs[_TI[t]][:] = p0[t][:, 1: tj + 1, :]
 
-    # -- phase 1 (color 1) on rows [J0, J0+TJ) ------------------------------
+    # -- phase 1 (color 1) on rows [J0, J0+TJ) x cols [I0, I0+WC) ----------
     # e1: color-0 quads in halo-extended tile form, materialized in VMEM
     # SCRATCH via stores (in-kernel lane-dim concatenate does not lower —
-    # Mosaic "offset mismatch on non-concat dimension").  Interior = the
-    # in-VMEM phase-0 values (incl. the overhang rows); x-halos and the
-    # first/last tile's out-of-domain row come from the PRE-sweep windows —
-    # the mirror rule maps them to color-1 points, untouched by phase 0.
+    # Mosaic "offset mismatch on non-concat dimension").  Interior comes
+    # from the in-VMEM phase-0 values; each quad's live seam column is the
+    # 1-column recompute (interior chunk seam, bitwise the neighbour's
+    # committed value) or the PRE-sweep mirror fill (physical boundary —
+    # the mirror maps to color-1 points, untouched by phase 0).  Only one
+    # seam side per quad is ever read: (·,1) quads at ri<=0 (left), (·,0)
+    # at ri>=0 (right); the other column stays unwritten junk.
     i = pl.program_id(0)
     first = i == 0
     last = i == pl.num_programs(0) - 1
     scr = {(0, 0): scratch[0], (1, 1): scratch[1]}
     for t in _COLOR0:
         swt, s = sw[t], scr[t]
-        s[:, :, 1: W + 1] = p0[t]
-        s[:, :, 0:1] = swt[:, 1: n0 + 1, 0:1]
-        s[:, :, W + 1: We] = swt[:, 1: n0 + 1, We - 1: We]
+        s[:, :, 1: Wc + 1] = p0[t]
         if t == (1, 1):
+            if first_chunk:
+                # col I0-1 at the first chunk is the i=-1 halo
+                s[:, :, 0:1] = swt[:, 1: n0 + 1, 1:2]
+            else:
+                s[:, :, 0:1] = p0_compute(t, -1, 1)
+
             # row J0-1 at the first tile is the j=-1 halo
             @pl.when(first)
             def _fix_first(swt=swt, s=s):
-                s[:, 0:1, :] = swt[:, 1:2, :We]
+                s[:, 0:1, :] = swt[:, 1:2, 1: m0 + 1]
         else:
+            if last_chunk:
+                # col I0+WC at the last chunk is the i=nx halo
+                s[:, :, m0 - 1: m0] = swt[:, 1: n0 + 1, m0: m0 + 1]
+            else:
+                s[:, :, m0 - 1: m0] = p0_compute(t, Wc, 1)
+
             # row J0+TJ at the last tile is the j=ny halo
             @pl.when(last)
             def _fix_last(swt=swt, s=s):
-                s[:, n0 - 1: n0, :] = swt[:, n0: n0 + 1, :We]
+                s[:, n0 - 1: n0, :] = swt[:, n0: n0 + 1, 1: m0 + 1]
 
     # the real-matrix diagonal terms read the color-1 SIBLING: interior
     # values are pre-color (the documented same-color-read deviation), but
@@ -268,15 +448,17 @@ def _kernel(*refs, tj, real_matrix, band_lp):
     if real_matrix:
         s10, s01 = sw[(1, 0)], sw[(0, 1)]
         e10, e01 = scratch[2], scratch[3]
-        e10[:, :, 0: W + 1] = s10[:, 1: n0 + 1, 0: W + 1]
-        e10[:, :, W + 1: We] = scr[(1, 1)][:, :, W: W + 1]
+        e10[:, :, :] = s10[:, 1: n0 + 1, 1: m0 + 1]
+        if last_chunk:
+            e10[:, :, m0 - 1: m0] = scr[(1, 1)][:, :, m0 - 2: m0 - 1]
 
         @pl.when(first)
         def _fix_e10():
             e10[:, 0:1, :] = scr[(0, 0)][:, 1:2, :]
 
-        e01[:, :, 1: We] = s01[:, 1: n0 + 1, 1: We]
-        e01[:, :, 0:1] = scr[(0, 0)][:, :, 1:2]
+        e01[:, :, :] = s01[:, 1: n0 + 1, 1: m0 + 1]
+        if first_chunk:
+            e01[:, :, 0:1] = scr[(0, 0)][:, :, 1:2]
 
         @pl.when(last)
         def _fix_e01():
@@ -289,33 +471,34 @@ def _kernel(*refs, tj, real_matrix, band_lp):
         kp = ((a + pj) % 2, (b + pi) % 2)
         rj = (a + pj - kp[0]) // 2
         ri = (b + pi - kp[1]) // 2
-        x = scr[kp][:, rj + 1: rj + 1 + tj, 1 + ri: 1 + ri + W]
+        x = scr[kp][:, rj + 1: rj + 1 + tj, ri + 1: ri + 1 + Wc]
         return _kshift(x, pk)
 
     for t in _COLOR1:
         a, b = t
         r = c1[t]
-        rhs = r["bq"][:] - gather(a, b, 0, tj, read_p1)
+        rhs = r["bq"][:] - gather(a, b, 0, 0, tj, Wc, read_p1)
         outs[_TI[t]][:] = thomas_factored_unrolled(
             r["bet"][:], r["gam"][:], r["ud"][:], rhs)
 
 
-@functools.partial(jax.jit, static_argnames=("real_matrix", "interpret"))
-def _sweep_once(eP: tuple, sop: SweepOperator, t0: tuple, t1: tuple,
-                real_matrix: bool, interpret: bool = False) -> tuple:
-    """One fused sweep.  ``eP``: the 4 window-padded extended state quads
-    (_TKEYS order); ``t0``: the phase-0 targets' window-padded
+@functools.partial(jax.jit, static_argnames=("plan", "real_matrix",
+                                             "chunk", "interpret"))
+def _sweep_chunk(eP: tuple, ebands_c: tuple, t0: tuple, t1: tuple,
+                 plan: _Plan, real_matrix: bool, chunk: tuple,
+                 interpret: bool = False) -> tuple:
+    """One fused sweep over ONE lane chunk.  ``eP``: the 4 padded chunk
+    state quads (_TKEYS order, width Wc+4); ``ebands_c``: the chunk's 24
+    band arrays; ``t0``: the phase-0 targets' window-padded (width Wc+2)
     (bet, bet, gam, gam, ud, ud, bq, bq); ``t1``: the phase-1 targets'
-    aligned (unpadded) same.  Returns the 4 updated interior quads."""
-    tj = sop.tj
-    nz, _, We = eP[0].shape
-    W = We - 2
-    ws, wt = _roundup8(tj + 4), _roundup8(tj + 2)
+    aligned (width Wc) same.  ``chunk`` = (first_chunk, last_chunk)
+    statics.  Returns the 4 updated interior chunk quads (nz, H, Wc)."""
+    tj = plan.tj
+    nz = eP[0].shape[0]
+    Wc = t1[-1].shape[2]
     H = t1[-1].shape[1]
-    band_lp = sop.ebands[0].dtype != eP[0].dtype
-    _, bbuf, sbuf, kbuf, obuf = _pick_tj(
-        H, nz, W, jnp.dtype(eP[0].dtype).itemsize,
-        jnp.dtype(sop.ebands[0].dtype).itemsize)
+    ws, wt = _roundup8(tj + 4), _roundup8(tj + 2)
+    band_lp = ebands_c[0].dtype != eP[0].dtype
 
     def win(lead, rows, cols, buf):
         return pl.BlockSpec((pl.Element(lead), pl.Element(rows),
@@ -324,25 +507,27 @@ def _sweep_once(eP: tuple, sop: SweepOperator, t0: tuple, t1: tuple,
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(buf))
 
-    def blk(lead):
-        return pl.BlockSpec((lead, tj, W), lambda i: (_z, i, _z),
+    def blk(lead, buf):
+        return pl.BlockSpec((lead, tj, Wc), lambda i: (_z, i, _z),
                             memory_space=pltpu.VMEM,
-                            pipeline_mode=pl.Buffered(kbuf))
+                            pipeline_mode=pl.Buffered(buf))
 
-    in_specs = ([win(nz, ws, We, sbuf) for _ in range(4)]
-                + [win(nz, ws, We, bbuf) for _ in range(24)]
-                + [win(nz, wt, W, 1) for _ in range(2)]        # bet (p0)
-                + [win(nz - 1, wt, W, 1) for _ in range(4)]    # gam, ud
-                + [win(nz, wt, W, 1) for _ in range(2)]        # bq  (p0)
-                + [blk(nz), blk(nz),                           # bet (p1)
-                   blk(nz - 1), blk(nz - 1),                   # gam
-                   blk(nz - 1), blk(nz - 1),                   # ud
-                   blk(nz), blk(nz)])                          # bq
-    out_spec = pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
+    tb = plan.tbuf
+    in_specs = ([win(nz, ws, Wc + 4, plan.sbuf) for _ in range(4)]
+                + [win(nz, ws, Wc + 4, plan.bbuf) for _ in range(24)]
+                + [win(nz, wt, Wc + 2, tb) for _ in range(2)]      # bet (p0)
+                + [win(nz - 1, wt, Wc + 2, tb) for _ in range(4)]  # gam, ud
+                + [win(nz, wt, Wc + 2, tb) for _ in range(2)]      # bq  (p0)
+                + [blk(nz, plan.kbuf), blk(nz, plan.kbuf),         # bet (p1)
+                   blk(nz - 1, plan.kbuf), blk(nz - 1, plan.kbuf),  # gam
+                   blk(nz - 1, plan.kbuf), blk(nz - 1, plan.kbuf),  # ud
+                   blk(nz, plan.kbuf), blk(nz, plan.kbuf)])        # bq
+    out_spec = pl.BlockSpec((nz, tj, Wc), lambda i: (_z, i, _z),
                             memory_space=pltpu.VMEM,
-                            pipeline_mode=pl.Buffered(obuf))
+                            pipeline_mode=pl.Buffered(plan.obuf))
     kern = functools.partial(_kernel, tj=tj, real_matrix=real_matrix,
-                             band_lp=band_lp)
+                             band_lp=band_lp, first_chunk=chunk[0],
+                             last_chunk=chunk[1])
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -352,16 +537,16 @@ def _sweep_once(eP: tuple, sop: SweepOperator, t0: tuple, t1: tuple,
     nscr = 4 if real_matrix else 2
     outs = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((nz, H, W), eP[0].dtype)
+        out_shape=[jax.ShapeDtypeStruct((nz, H, Wc), eP[0].dtype)
                    for _ in range(4)],
         grid=(H // tj,),
         in_specs=in_specs,
         out_specs=[out_spec] * 4,
-        scratch_shapes=[pltpu.VMEM((nz, tj + 2, We), eP[0].dtype)
+        scratch_shapes=[pltpu.VMEM((nz, tj + 2, Wc + 2), eP[0].dtype)
                         for _ in range(nscr)],
         interpret=interpret,
         **kwargs,
-    )(*eP, *sop.ebands, *t0, *t1)
+    )(*eP, *ebands_c, *t0, *t1)
     return tuple(outs)
 
 
@@ -373,22 +558,41 @@ def relax_fused_sweep(q0, bq, pack: CompactPack, nsweeps: int,
     them aligned; phase 0's window-padded copies are made here, once per
     call, amortized over nsweeps)."""
     sop = pack.sweep
-    tj = sop.tj
+    plan = sop.plan
+    tj, C = plan.tj, plan.nchunks
     H = q0[(0, 0)].shape[1]
+    W = q0[(0, 0)].shape[2]
+    Wc = W // C
     ws, wt = _roundup8(tj + 4), _roundup8(tj + 2)
     hs, ht = H - tj + ws, H - tj + wt
-    m0 = [_TI[t] for t in _COLOR0]
-    m1 = [_TI[t] for t in _COLOR1]
-    pt = lambda xs: tuple(_pad_window(xs[m], ht) for m in m0)
-    t0 = (pt(pack.bet) + pt(pack.gam) + pt(pack.ud)
-          + tuple(_pad_window(bq[t], ht) for t in _COLOR0))
-    t1 = (tuple(pack.bet[m] for m in m1) + tuple(pack.gam[m] for m in m1)
-          + tuple(pack.ud[m] for m in m1) + tuple(bq[t] for t in _COLOR1))
+
+    def slc0(x, c):          # phase-0 window form: rows->ht, width Wc+2
+        return _pad_cols(_pad_rows(x, ht))[:, :, c * Wc: c * Wc + Wc + 2]
+
+    def slc1(x, c):          # phase-1 aligned form: width Wc
+        return x[:, :, c * Wc: (c + 1) * Wc]
+
+    # pivots ride pre-sliced in the operator (sop.t0p/t1p); only the
+    # per-cycle RHS is sliced here, once per call, amortized over nsweeps
+    t0c, t1c = [], []
+    for c in range(C):
+        t0c.append(sop.t0p[c] + tuple(slc0(bq[t], c) for t in _COLOR0))
+        t1c.append(sop.t1p[c] + tuple(slc1(bq[t], c) for t in _COLOR1))
     q = dict(q0)
     for _ in range(nsweeps):
         e = extend_quads(q)
-        eP = tuple(_pad_window(e[t], hs) for t in _TKEYS)
-        outs = _sweep_once(eP, sop, t0, t1, real_matrix,
-                           interpret=interpret)
+        eF = {t: _pad_cols(_pad_rows(e[t], hs)) for t in _TKEYS}
+        parts = []
+        for c in range(C):
+            eP = tuple(eF[t][:, :, c * Wc: c * Wc + Wc + 4] for t in _TKEYS)
+            parts.append(_sweep_chunk(eP, sop.ebands[c], t0c[c], t1c[c],
+                                      plan, real_matrix,
+                                      (c == 0, c == C - 1),
+                                      interpret=interpret))
+        if C == 1:
+            outs = parts[0]
+        else:
+            outs = tuple(jnp.concatenate([parts[c][m] for c in range(C)],
+                                         axis=2) for m in range(4))
         q = dict(zip(_TKEYS, outs))
     return q

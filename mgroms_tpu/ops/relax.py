@@ -262,6 +262,74 @@ def relax(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
     return jax.lax.fori_loop(0, nsteps, body, p)
 
 
+def relax_gs_exact(p: jnp.ndarray, b: jnp.ndarray, cA: jnp.ndarray,
+                   nsweeps: int, real_matrix: bool,
+                   extend_fn: ExtendFn) -> jnp.ndarray:
+    """ORDER-EXACT sequential Gauss-Seidel (``relax_3D_8_GS``,
+    mg_relax.f90:116-148): columns updated one at a time in the
+    reference's i-outer / j-inner order, each reading the in-place
+    updated values of every previously-visited column; halos refreshed
+    once per sweep (:141 — so halo reads see pre-sweep values).
+
+    This is a PARITY MODE, not a TPU path: the dependency chain is fully
+    sequential — column (i, j) reads (i, j-1) and (i-1, j+1), so even
+    anti-diagonal wavefronts are serialized — and the lax.scan below
+    embraces that (nx*ny steps of one nz-column each).  Use it on CPU/f64
+    to reproduce reference GS histories; the default 'GS' path remains
+    the simultaneous column-Jacobi sweep (documented deviation, fast on
+    TPU).  Gather term order matches relax_3D_8_heart (:263-300) via the
+    shared _BASE_TERMS/_REAL_TERMS tables, so iterates are bitwise the
+    reference recurrence."""
+    from .relax_compact import _BASE_TERMS, _REAL_TERMS
+    nz, ny, nx = p.shape
+    dt = p.dtype
+    k0 = (jnp.arange(nz) == 0).astype(dt) if real_matrix else None
+
+    def kshift1(v, dk):
+        if dk == 0:
+            return v
+        z = jnp.zeros_like(v[:1])
+        if dk == 1:
+            return jnp.concatenate([v[1:], z], axis=0)
+        return jnp.concatenate([z, v[:-1]], axis=0)
+
+    def column(pe, idx):
+        i = idx // ny               # i outer, j inner (mg_relax.f90:133-134)
+        j = idx % ny
+        je, ie = j + 1, i + 1       # extended coords
+        nb = jax.lax.dynamic_slice(pe, (0, je - 1, ie - 1), (nz, 3, 3))
+        cb = jax.lax.dynamic_slice(cA, (0, 0, je - 1, ie - 1),
+                                   (8, nz, 3, 3))
+        bcol = jax.lax.dynamic_slice(b, (0, j, i), (nz, 1, 1))[:, 0, 0]
+
+        def term(n, boff, poff):
+            bk, bj, bi = boff
+            pk, pj, pi = poff
+            return kshift1(cb[n - 1, :, 1 + bj, 1 + bi], bk) \
+                * kshift1(nb[:, 1 + pj, 1 + pi], pk)
+
+        s = None
+        for n, boff, poff in _BASE_TERMS:
+            t = term(n, boff, poff)
+            s = t if s is None else s + t
+        if real_matrix:
+            x = None
+            for n, boff, poff in _REAL_TERMS:
+                t = term(n, boff, poff)
+                x = t if x is None else x + t
+            s = s + k0 * x
+        sol = tridiag(cb[0, :, 1, 1], cb[1, 1:, 1, 1], bcol - s)
+        pe = jax.lax.dynamic_update_slice(pe, sol[:, None, None],
+                                          (0, je, ie))
+        return pe, None
+
+    for _ in range(nsweeps):
+        pe = extend_fn(p)
+        pe, _ = jax.lax.scan(column, pe, jnp.arange(nx * ny))
+        p = pe[:, 1:-1, 1:-1]
+    return p
+
+
 # NOTE: no 2-D (nz==1) relaxation exists here by design.  The reference's
 # relax_2D_5 (mg_relax.f90:50-113) is dead code: define_matrix has no 2-D
 # assembly branch to feed it (mg_define_matrix.f90), and the level plan

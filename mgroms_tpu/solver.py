@@ -90,7 +90,8 @@ def build_relax_packs(levels, ops, cfg: SolverConfig, platform: str,
             bd = jnp.bfloat16 if cfg.fused_bands_bf16 else None
             pack = pack._replace(sweep=build_sweep_operator(
                 ops[lev].cA, pack, spec.nzg, spec.nyg // 2, spec.nxg // 2,
-                band_dtype=bd, itemsize=item))
+                band_dtype=bd, itemsize=item,
+                force_chunks=cfg.fused_sweep_chunks))
         packs.append(pack)
     return packs
 
@@ -215,6 +216,12 @@ class SingleDeviceBackend:
             raise NotImplementedError(
                 "2-D (nz==1) levels are unreachable under the standard plan "
                 "and have no assembly path (parity with the reference)")
+        if self.cfg.relax_kind == "GS" and self.cfg.gs_exact:
+            # reference-order sequential GS (parity mode; see config)
+            return relax_ops.relax_gs_exact(
+                p, b, self.ops[lev].cA, nsweeps,
+                self.cfg.cmatrix == "real",
+                extend_fn=lambda x: self.extend(lev, x))
         if self._use_pallas(lev):
             from .ops.pallas import fused_relax
             interpret = self.platform == "cpu"
@@ -522,16 +529,79 @@ def solve_init(be, b):
 from functools import partial
 
 
+def cycle_step(be, p, b, r, cfg):
+    """One F-cycle + fresh residual — the convergence-loop body shared by
+    solve_step and the benches.
+
+    Default: the reference structure (Fcycle acts on (p, b) directly,
+    mg_solvers.f90:61-79).  With low-precision smoother bands
+    (cfg.fused_bands_bf16) the step runs in DEFECT-CORRECTION form
+    instead: p += Fcycle(0, r, r).  The two are identical in exact
+    arithmetic (relaxation is shift-invariant: relax(p+x, b) =
+    p + relax(x, b-Ap)), but with a perturbed smoother operator A' the
+    direct form's fixed point is biased away from A⁻¹b by O(|A-A'|) — a
+    relative-residual FLOOR (~5e-4 measured with bf16 bands) — while in
+    defect form the perturbation multiplies the current error, degrading
+    only the convergence FACTOR by O(0.4%): classical mixed-precision
+    iterative refinement, with the f32 true-A residual steering."""
+    if cfg.fused_bands_bf16:
+        from .ops.relax_compact import QuadField
+        z = be.zeros(0, as_quads=isinstance(p, QuadField))
+        p = p + fcycle(be, z, r, r, cfg, keep_state=True)
+    else:
+        p = fcycle(be, p, b, r, cfg, keep_state=True)
+    r = be.residual(0, p, b)
+    return p, r
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def solve_step(be, p, b, r, cfg):
     """One convergence-loop iteration: cycles_per_check F-cycles + fresh
     residual + norm (mg_solvers.f90:61-79 body).  p/b/r are level-0 STATE
     (QuadField on quad-persistent levels) — carried across F-cycles."""
     for _ in range(cfg.cycles_per_check):
-        p = fcycle(be, p, b, r, cfg, keep_state=True)
-        r = be.residual(0, p, b)
+        p, r = cycle_step(be, p, b, r, cfg)
     rnorm = jnp.sqrt(be.norm_sq(0, r))
     return p, r, rnorm
+
+
+@partial(jax.jit, static_argnames=("cfg", "maxiter"))
+def _solve_device_loop(be, b, cfg, tol, maxiter):
+    """Whole outer convergence loop as ONE on-device program
+    (lax.while_loop): p=0 init, then F-cycles until ||r||/||b|| <= tol or
+    ``maxiter``, recording the per-cycle relative residual into a
+    preallocated history array.  One device->host fetch per SOLVE instead
+    of one per cycle — the reference's host loop costs an ALLREDUCE per
+    iteration (mg_solvers.f90:61-79), ~free on its cluster, but over a
+    tunneled accelerator each host sync is a full RTT + dispatch.
+
+    Returns (p_state, r_state, niter, history[maxiter+1]) with history
+    slots beyond niter holding NaN."""
+    q = bool(getattr(be, "state_quads", lambda lev: False)(0))
+    to_state = getattr(be, "to_state", lambda lev, x: x)
+    p = be.zeros(0, as_quads=q)
+    bnorm = jnp.sqrt(be.norm_sq(0, b))
+    bs = to_state(0, b)
+    r = be.residual(0, p, bs)
+    res0 = jnp.sqrt(be.norm_sq(0, r)) / bnorm
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=res0.dtype)
+    hist = hist.at[0].set(res0)
+
+    def cond(c):
+        i, p, r, res, hist = c
+        return (i < maxiter) & (res > tol)
+
+    def body(c):
+        i, p, r, res, hist = c
+        for _ in range(cfg.cycles_per_check):
+            p, r = cycle_step(be, p, bs, r, cfg)
+        res = jnp.sqrt(be.norm_sq(0, r)) / bnorm
+        i = i + cfg.cycles_per_check
+        return (i, p, r, res, hist.at[i].set(res))
+
+    i, p, r, res, hist = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), p, r, res0, hist))
+    return p, r, i, hist
 
 
 class SolveInfo(NamedTuple):
@@ -544,19 +614,48 @@ class SolveInfo(NamedTuple):
 
 def solve_p(backend, b: jnp.ndarray, cfg: Optional[SolverConfig] = None,
             tol: Optional[float] = None, maxiter: Optional[int] = None,
-            verbose: bool = False) -> Tuple[jnp.ndarray, SolveInfo]:
+            verbose: bool = False, device_loop: Optional[bool] = None
+            ) -> Tuple[jnp.ndarray, SolveInfo]:
     """Outer convergence loop (``solve_p``, mg_solvers.f90:17-101).
 
     Starts from p = 0 (:35), iterates F-cycles until the relative residual
     ||b - Ap|| / ||b|| drops under ``tol`` or ``maxiter`` cycles (:61-79).
     Returns the pressure and a :class:`SolveInfo` with the residual history
     and the reference "rescaled performance" metric.
+
+    ``device_loop`` (default: cfg.device_loop) runs the whole loop as one
+    on-device ``lax.while_loop`` program — identical iterates and history,
+    but one host sync per solve instead of per cycle (the win on tunneled
+    accelerators; the host loop remains the default = reference parity,
+    including its per-iteration verbose/netcdf hooks).
     """
     cfg = cfg or backend.cfg
     tol = cfg.solver_prec if tol is None else tol
     maxiter = cfg.solver_maxiter if maxiter is None else maxiter
+    if device_loop is None:
+        device_loop = cfg.device_loop
 
     to_full = getattr(backend, "to_full", lambda lev, x: x)
+    if device_loop and not (verbose or cfg.netcdf_output):
+        import math
+        t0 = time.perf_counter()
+        p, r, niter, hist = _solve_device_loop(backend, b, cfg,
+                                               tol, maxiter)
+        p = to_full(0, p)
+        jax.block_until_ready(p)
+        dt = time.perf_counter() - t0
+        niter = int(niter)
+        hist = [float(h) for h in hist[:niter + 1]]
+        hist = [h for h in hist if not math.isnan(h)]
+        res = hist[-1]
+        s = backend.levels[0]
+        ncores = getattr(backend, "ndevices", 1)
+        decades = (-math.log10(max(res / hist[0], 1e-300))
+                   if niter else float("nan"))
+        perf = (dt * ncores / decades / (s.nxg * s.nyg * s.nzg)
+                if decades and decades > 0 else float("nan"))
+        return p, SolveInfo(niter=niter, res=res, history=tuple(hist),
+                            time_s=dt, rescaled_perf=perf)
     t0 = time.perf_counter()
     p, bs, r, res0, bnorm = solve_init(backend, b)
     res0 = float(res0)

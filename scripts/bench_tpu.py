@@ -40,9 +40,10 @@ def main():
                          "(ops/pallas/sweep_fused)")
     ap.add_argument("--bf16-bands", action="store_true",
                     help="store the fused-sweep gather bands in bfloat16 "
-                         "(EXPERIMENTAL: 117 vs 130.5 ms/F-cycle at CUC "
-                         "scale but breaks smoother convergence — see "
-                         "ops/pallas/sweep_fused.supports docstring)")
+                         "with row-sum-consistent rebuilt pivots "
+                         "(sweep_fused.consistent_pivots); the outer loop "
+                         "then runs in defect-correction form "
+                         "(solver.cycle_step)")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--coarsest", default="direct")
     ap.add_argument("--tridiag", default="thomas", choices=["thomas", "pcr"])
@@ -52,7 +53,7 @@ def main():
     args = ap.parse_args()
 
     from mgroms_tpu import NHModel, SolverConfig
-    from mgroms_tpu.solver import fcycle
+    from mgroms_tpu.solver import cycle_step
 
     if args.refine:
         return run_refine(args)
@@ -95,8 +96,7 @@ def main():
 
         def body(i, state):
             p, r = state
-            p = fcycle(be, p, bs, r, cfg, keep_state=True)
-            r = be.residual(0, p, bs)
+            p, r = cycle_step(be, p, bs, r, cfg)
             return (p, r)
 
         p, r = jax.lax.fori_loop(0, n, body, (p, r))

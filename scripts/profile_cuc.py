@@ -1,11 +1,20 @@
-"""Per-op F-cycle breakdown at CUC scale on the attached TPU.
+"""Post-quad per-(level, section) F-cycle breakdown at CUC scale — THE
+profiling surface (VERDICT r3 items 2/5: one table, produced by the same
+machinery as ``drivers/* --profile``).
 
-Times each backend op (relax sweep, residual, residual_restrict, prolong)
-per level with the tunnel-honest device timer (utils/timing), then prints
-the implied F-cycle composition next to the measured whole-F-cycle time.
+Runs utils/tictoc.profile_fcycle on the real backend: one eager F-cycle
+through the InstrumentedBackend records every per-level op call with its
+ACTUAL argument layout (QuadField on quad-persistent levels — the ops the
+compiled cycle really runs), then each distinct (op, level, signature) is
+re-timed device-resident (utils/timing.time_device_fn — the only honest
+timer over the tunnel).  The whole F-cycle is also timed as one program so
+the per-section rows can be reconciled against it.
 
 Usage: PYTHONPATH=/root/.axon_site:. python scripts/profile_cuc.py \
-           [--nx 1024 --ny 1024 --nz 64] [--levels 0 1 2]
+           [--nx 1024 --ny 1024 --nz 64] [--iters 5]
+
+Reference: the per-(level,routine) table of mg_tictoc.f90:114-153,
+bracketed at mg_relax.f90:128,146,167,188 and mg_solvers.f90:45,82,108,124.
 """
 
 import argparse
@@ -24,12 +33,12 @@ def main():
     ap.add_argument("--ny", type=int, default=1024)
     ap.add_argument("--nz", type=int, default=64)
     ap.add_argument("--case", default="cuc")
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--maxlev", type=int, default=3,
-                    help="profile levels 0..maxlev-1 (coarser are cheap)")
+    ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
     from mgroms_tpu import NHModel, SolverConfig
+    from mgroms_tpu.solver import fcycle
+    from mgroms_tpu.utils.tictoc import TicToc, profile_fcycle
     from mgroms_tpu.utils.timing import time_device_fn
 
     dt = jnp.float32
@@ -44,41 +53,39 @@ def main():
                    theta_b=case.theta_b, theta_s=case.theta_s)
     m.offload_metrics()
     be = m.backend
+    b = jnp.ones((args.nz, args.ny, args.nx), dt)
+
+    # whole F-cycle as ONE program (the bench step, for reconciliation)
+    def step(c):
+        be, p, b, r = c
+        p = fcycle(be, p, b, r, cfg, keep_state=True)
+        r = be.residual(0, p, b)
+        return (be, p, b, r)
+
+    q = bool(be.state_quads(0))
+    p0 = be.zeros(0, as_quads=q)
+    bs = be.to_state(0, b)
+    r0 = be.residual(0, p0, bs)
+    t_fcycle = time_device_fn(step, (be, p0, bs, r0), iters=args.iters)
+    print(json.dumps({"fcycle_ms": round(t_fcycle * 1e3, 2)}), flush=True)
+
+    tt = TicToc()
+    profile_fcycle(be, b, cfg, device_timer=True, iters=args.iters,
+                   tictoc=tt)
+    print(tt.report(), flush=True)
 
     rows = []
-    for lev in range(min(args.maxlev, be.nlevs - 1)):
-        spec = be.levels[lev]
-        shape = (spec.nzg, spec.nyg, spec.nxg)
-        p = jnp.zeros(shape, dt)
-        b = jnp.ones(shape, dt)
-
-        # the backend rides in the CARRY, never in a closure: closed-over
-        # operator arrays become multi-GB HLO constants (minutes of remote
-        # compile; see CLAUDE.md).  The timer's final |leaf| sum then also
-        # covers the operator arrays — a constant cost present in both the
-        # n=1 and n=N runs, removed by the subtraction.
-        t_sweep = time_device_fn(
-            lambda c: (c[0], c[0].relax(lev, c[1], c[2], 1), c[2]),
-            (be, p, b), iters=args.iters)
-        t_res = time_device_fn(
-            lambda c: (c[0], c[0].residual(lev, c[1], c[2]), c[2]),
-            (be, p, b), iters=args.iters)
-        t_rr = time_device_fn(
-            lambda c: (c[0], c[0].prolong(
-                lev, c[0].residual_restrict(lev, c[1], c[2])), c[2]),
-            (be, p, b), iters=args.iters)
-        rows.append({
-            "lev": lev, "shape": list(shape),
-            "sweep_ms": round(t_sweep * 1e3, 2),
-            "residual_ms": round(t_res * 1e3, 2),
-            "rr_plus_prolong_ms": round(t_rr * 1e3, 2),
-            "compact": be._use_compact(lev),
-            "tiled": be._use_tiled(lev, "relax"),
-        })
+    for (lev, op), (secs, calls) in sorted(tt.table.items()):
+        rows.append({"lev": lev, "op": op, "ms": round(secs * 1e3, 3),
+                     "calls": calls})
         print(json.dumps(rows[-1]), flush=True)
-
-    print(json.dumps({"note": "rr_plus_prolong = residual_restrict + "
-                              "prolong fused in one timed step"}))
+    implied = sum(r["ms"] for r in rows)
+    print(json.dumps({
+        "implied_fcycle_ms": round(implied, 2),
+        "measured_fcycle_ms": round(t_fcycle * 1e3, 2),
+        "note": "implied = sum of per-section rows (one F-cycle + the "
+                "outer loop's residual, timed as separate programs); "
+                "measured = the same work fused into one program"}))
 
 
 if __name__ == "__main__":

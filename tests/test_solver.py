@@ -114,6 +114,28 @@ def test_seamount_convergence_and_projection():
     assert div.max() < 1e-2 * div0
 
 
+def test_device_loop_matches_host_loop():
+    """solver._solve_device_loop (whole convergence loop as one
+    lax.while_loop program, one host sync per solve) must reproduce the
+    host loop's iterate count, history and pressure exactly — same
+    cycle_step body, so f64 histories are bitwise up to XLA scheduling."""
+    from mgroms_tpu.solver import solve_p
+    nx = ny = nz = 16
+    m = _model(nx, ny, nz)
+    u, v, w = initial_velocities(nx, ny, nz)
+    b = m.rhs(u, v, w)
+    p0, i0 = solve_p(m.backend, b, m.cfg, tol=1e-10, maxiter=20,
+                     device_loop=False)
+    p1, i1 = solve_p(m.backend, b, m.cfg, tol=1e-10, maxiter=20,
+                     device_loop=True)
+    assert i1.niter == i0.niter
+    assert len(i1.history) == len(i0.history)
+    np.testing.assert_allclose(np.array(i1.history), np.array(i0.history),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-12, atol=1e-14)
+
+
 def test_relax_reduces_residual():
     nx = ny = nz = 16
     m = _model(nx, ny, nz)
