@@ -143,7 +143,14 @@ def _pick_plan(H: int, nz: int, W: int, itemsize: int,
     chunked AND serialized kernel would lose to the per-color tiled path
     twice over (round-3 measurement: the serialized full-width tier
     already loses, 15.8 vs 13.3 ms/sweep)."""
-    Cs = (force_chunks,) if force_chunks else (1, 2, 4, 8)
+    if force_chunks:
+        Cs = (force_chunks,)
+    elif band_itemsize >= itemsize:
+        # full-precision bands: chunked plans measured slower than the
+        # per-color tiled fallback (see supports()) — never pick them
+        Cs = (1,)
+    else:
+        Cs = (1, 2, 4, 8)
     full = ((2, 2, 2, 2, 2), (2, 2, 2, 2, 1))
     degraded = ((1, 2, 2, 2, 1), (1, 2, 1, 2, 1), (1, 1, 1, 2, 1),
                 (1, 1, 1, 1, 1))
@@ -168,11 +175,23 @@ def supports(nz: int, H: int, W: int, itemsize: int = 4,
     """True when the fused sweep fits VMEM with double-buffered state
     windows (the fully-serialized tier fits at more shapes but LOSES to
     the per-color tiled path on hardware — measured 15.8 vs 13.3 ms/sweep
-    at CUC level 0 — so it is not offered).  With lane chunking (round 4)
-    this now includes CUC level 0 in f32: (64, 512, 512) picks a 4-chunk
-    tj=16 plan with every stream double-buffered."""
+    at CUC level 0 — so it is not offered).
+
+    Round-4 measurement: lane-CHUNKED plans at full-precision bands also
+    lose to the per-color tiled path (17.0 vs 12.6 ms/sweep at CUC level
+    0 — the chunked window pattern runs at a much lower effective HBM
+    rate, so halving the band traffic relative to two per-color passes
+    does not materialize as time).  Chunked plans are therefore offered
+    only when the bands are stored at lower precision than the state
+    (the one case measured competitive); full-precision levels keep the
+    unchunked plans (wins at CUC levels 1+, round 3) and fall back to
+    the tiled path where only a chunked plan fits (CUC level 0)."""
     plan = _pick_plan(H, nz, W, itemsize, band_itemsize)
-    return plan is not None and plan.sbuf >= 2
+    if plan is None or plan.sbuf < 2:
+        return False
+    if plan.nchunks > 1 and band_itemsize >= itemsize:
+        return False
+    return True
 
 
 class SweepOperator(NamedTuple):
@@ -280,6 +299,12 @@ def build_sweep_operator(cA: jnp.ndarray, pack: CompactPack, nz: int,
     plan = _pick_plan(H, nz, W, itemsize, bd.itemsize,
                       force_chunks=force_chunks, min_chunk=min_chunk)
     if plan is None or plan.sbuf < 2:
+        return None
+    if force_chunks is None and plan.nchunks > 1 \
+            and bd.itemsize >= itemsize:
+        # chunked full-precision plans measured SLOWER than the per-color
+        # tiled path (see supports()) — only offered under force_chunks
+        # (tests / hardware experiments)
         return None
     tj, C = plan.tj, plan.nchunks
     Wc = W // C

@@ -51,8 +51,8 @@ def split_quads(x: jnp.ndarray) -> Quads:
 class QuadField:
     """A level state persisted in quad-parity layout across the V-cycle.
 
-    The profile that motivates this (scripts/profile_pieces.py, CUC level 0
-    on v5e): the compact smoother's actual sweep costs ~14 ms but each
+    The profile that motivates this (round-2 piece timings, CUC level 0
+    on v5e; recorded in CLAUDE.md): the compact smoother's actual sweep costs ~14 ms but each
     relax CALL paid ~30 ms more in split_quads/merge_quads, and prolong
     paid ~150 ms in minor-axis interleave matmuls.  Keeping the state in
     quads between operations removes every interleave from the cycle hot

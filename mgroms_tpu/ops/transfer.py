@@ -175,7 +175,7 @@ def prolong_3d_linear_quads(xce: jnp.ndarray):
     ``{(t, s): V[t, s]}`` — the fine child at horizontal parity (t, s) IS
     the (t, s) quad, so the whole y/x interleave stage of
     :func:`prolong_3d_linear` (the ~150 ms minor-axis scatter matmuls at
-    CUC level 0, scripts/profile_pieces.py) simply vanishes.  Values are
+    CUC level 0, round-2 piece timings in CLAUDE.md) simply vanishes.  Values are
     bitwise those of the full-array form."""
     H = _bilinear_combos(xce)
 

@@ -91,17 +91,21 @@ def test_fused_sweep_chunked_bitwise_matches_xla(real_matrix, nchunks):
                                    rtol=1e-13, atol=1e-13)
 
 
-def test_fused_sweep_cuc_l0_plan_is_chunked_double_buffered():
-    """The round-4 'done' gate (VERDICT item 1): CUC level 0 in f32 —
-    quads (64, 512, 512) — must be supported with double-buffered state,
-    via a lane-chunked fully double-buffered plan."""
+def test_fused_sweep_cuc_l0_gating_is_measurement_based():
+    """CUC level 0 (quads 64x512x512): only CHUNKED plans fit VMEM there.
+    Hardware measurement (round 4): chunked full-precision-band plans
+    LOSE to the per-color tiled path (17.0 vs 12.6 ms/sweep) — the
+    chunked window pattern runs at a much lower effective HBM rate — so
+    f32 must NOT take the fused path at L0, while bf16 bands (the
+    competitive case) keep their chunked fully-double-buffered plan."""
     from mgroms_tpu.ops.pallas.sweep_fused import _pick_plan, supports
-    assert supports(64, 512, 512, 4)
-    plan = _pick_plan(512, 64, 512, 4, 4)
-    # the load-bearing streams (state + band windows) must double-buffer;
-    # the phase-0 pivot windows may degrade to single-buffering when the
-    # VMEM budget demands it (plan.tbuf)
+    assert not supports(64, 512, 512, 4, 4)       # f32 bands: tiled wins
+    assert supports(64, 512, 512, 4, 2)           # bf16 bands: chunked ok
+    plan = _pick_plan(512, 64, 512, 4, 2)
     assert plan.nchunks > 1 and plan.sbuf >= 2 and plan.bbuf >= 2, plan
+    # CUC levels 1+ stay on the unchunked fused plans (the round-3 win)
+    p1 = _pick_plan(256, 32, 256, 4, 4, force_chunks=1)
+    assert p1 is not None and p1.sbuf >= 2, p1
 
 
 def test_fused_sweep_bf16_bands_match_rounded_xla():
