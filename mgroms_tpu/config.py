@@ -113,11 +113,17 @@ class SolverConfig:
     # that chunk count (1 = unchunked plans only, the round-3 behaviour,
     # kept for A/B timing on hardware)
     fused_sweep_chunks: Optional[int] = None
-    # store the fused-sweep gather bands in bfloat16 (halves the dominant
-    # HBM stream).  The smoother becomes an exact solve of a ~0.4%-
-    # perturbed column system — still a smoother, same f32 floor (set by
-    # the f32-exact residual), convergence factor unchanged in practice;
-    # OFF by default until pinned per-case (see BENCH notes).
+    # store the fused-sweep gather bands in bfloat16.  Round 4 made this
+    # CONVERGENCE-SAFE: the Thomas pivots are rebuilt from the rounded
+    # operator so diag = -(row sum) holds exactly
+    # (sweep_fused.consistent_pivots), and the outer loop runs in
+    # defect-correction form (solver.cycle_step) so the ~0.4% smoother
+    # perturbation contracts with the error instead of flooring the
+    # residual — end-to-end convergence matches f32 (tests).  OFF by
+    # default: at CUC level 0 the chunked bf16 kernel still measures
+    # slightly SLOWER than the per-color tiled path (14.3 vs 12.6
+    # ms/sweep, docs/kernel_dma_notes.md), so the flag currently buys
+    # correctness headroom for future kernels, not speed.
     fused_bands_bf16: bool = False
     # coarsest-level treatment: 'relax' (ns_coarsest smoothing sweeps,
     # reference behaviour, mg_solvers.f90:117/144) or 'direct' (multiply by

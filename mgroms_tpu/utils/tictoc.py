@@ -117,7 +117,15 @@ class InstrumentedBackend:
                 jax.block_until_ready(out)
                 self._tt.toc(lev, name)
                 if self._record:
-                    self.calls.append((name, lev, args, kw))
+                    # record SHAPES, not arrays: keeping real argument
+                    # arrays alive across the whole eager F-cycle holds
+                    # every intermediate in HBM simultaneously (OOM at
+                    # CUC scale); the re-timing only needs correctly
+                    # shaped/typed inputs (the ops are data-independent)
+                    spec = jax.tree_util.tree_map(
+                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                        if isinstance(a, jax.Array) else a, (args, kw))
+                    self.calls.append((name, lev) + spec)
                 return out
 
             return f
@@ -131,9 +139,15 @@ def _device_time_call(backend, op: str, lev: int, args, kw,
     trustworthy method on tunneled TPU backends).  Array leaves ride in
     the carry; static leaves (ints, bools) stay in the closure."""
     from .timing import time_device_fn
+    import jax.numpy as jnp
     leaves, treedef = jax.tree_util.tree_flatten((args, kw))
-    is_arr = [isinstance(l, jax.Array) for l in leaves]
-    arrs = [l for l, f in zip(leaves, is_arr) if f]
+    is_arr = [isinstance(l, (jax.Array, jax.ShapeDtypeStruct))
+              for l in leaves]
+    # recorded calls carry ShapeDtypeStructs (tictoc records shapes, not
+    # arrays — see InstrumentedBackend); materialize ones for timing
+    arrs = [jnp.ones(l.shape, l.dtype)
+            if isinstance(l, jax.ShapeDtypeStruct) else l
+            for l, f in zip(leaves, is_arr) if f]
     static = [None if f else l for l, f in zip(leaves, is_arr)]
 
     def rebuild(arrs_now):
@@ -175,22 +189,34 @@ def profile_fcycle(backend, b, cfg, device_timer: bool = False,
     p = fcycle(ib, p0, b, r0, cfg)
     # the outer loop's per-iteration residual (mg_solvers.f90:65)
     ib.residual(0, p, b)
+    del p, p0, r0
     if device_timer:
+        # free the eager pass's products before re-timing: HBM at CUC
+        # scale cannot hold them alongside a timed op's working set
+        import gc
+        gc.collect()
         # keep the eager call counts; replace seconds with device-resident
         # per-call times (grouped by op/level/static signature)
         groups = {}
         for op, lev, args, kw in ib.calls:
             statics = tuple(a for a in args
-                            if not isinstance(a, jax.Array)) \
+                            if not isinstance(a, (jax.Array,
+                                                  jax.ShapeDtypeStruct))) \
                 + tuple(sorted(kw.items()))
-            key = (op, lev, statics)
+            # shapes distinguish groups too (same op/statics may run at
+            # different layouts, e.g. full-array vs QuadField state)
+            shapes = tuple(
+                (l.shape, str(l.dtype))
+                for l in jax.tree_util.tree_leaves((args, kw))
+                if isinstance(l, (jax.Array, jax.ShapeDtypeStruct)))
+            key = (op, lev, statics, shapes)
             if key not in groups:
                 groups[key] = [0, (args, kw)]
             groups[key][0] += 1
         for key in list(tt.table):
             if key[1] in _PROFILED_OPS:
                 tt.table[key][0] = 0.0
-        for (op, lev, _), (count, (args, kw)) in groups.items():
+        for (op, lev, _, _), (count, (args, kw)) in groups.items():
             per_call = _device_time_call(backend, op, lev, args, kw, iters)
             tt.table[(lev, op)][0] += per_call * count
     return tt

@@ -31,6 +31,10 @@ def main():
     nz = int(os.environ.get("MS_NZ", 64))
     ny = int(os.environ.get("MS_NY", 1024))     # CUC level 0 default
     nx = int(os.environ.get("MS_NX", 1024))
+    # HBM at CUC scale cannot hold cA + pack + two sweep operators at
+    # once; select modes per process (e.g. MS_MODES=tiled,f32 then
+    # MS_MODES=bf16)
+    modes = os.environ.get("MS_MODES", "tiled,f32,bf16").split(",")
     dt = jnp.float32
     key = jax.random.PRNGKey(0)
 
@@ -72,7 +76,8 @@ def main():
         q = relax_compact_tiled_quads(q, bq, pk, 1, "RB", real)
         return (q, bq, pk)
 
-    t("tiled_sweep", step_tiled, (q, bq, pack))
+    if "tiled" in modes:
+        t("tiled_sweep", step_tiled, (q, bq, pack))
 
     def step_fused(c):
         q, bq, pk = c
@@ -103,6 +108,8 @@ def main():
 
     for bd, label in ((None, "fused_sweep_f32"),
                       (jnp.bfloat16, "fused_sweep_bf16")):
+        if label.split("_")[-1] not in modes:
+            continue
         @jax.jit
         def build_sop(cA, pack, bd=bd):
             return build_sweep_operator(cA, pack, nz, ny // 2, nx // 2,
@@ -114,10 +121,15 @@ def main():
                   flush=True)
             continue
         packs = slim._replace(sweep=jax.block_until_ready(sop))
-        if bd is None:
+        if "check" in modes and bd is None:
             err, rel = both(q, bq, pack, packs)
             print(json.dumps({"max_abs_err": float(err),
                               "max_rel_err": float(rel)}), flush=True)
+        if len([m for m in modes if m in ("f32", "bf16")]) == 1 \
+                and "check" not in modes and "tiled" not in modes:
+            # single-variant run: the band stack and the full pack are
+            # build-time-only — freeing them (~6 GB) makes the timing fit
+            del cA, pack
         t(label, step_fused, (q, bq, packs))
         del packs, sop
     print(json.dumps(rows))

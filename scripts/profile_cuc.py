@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--nz", type=int, default=64)
     ap.add_argument("--case", default="cuc")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--chunks", type=int, default=None,
+                    help="force fused-sweep lane-chunk count (1 = "
+                         "unchunked plans only, the round-3 gating, for "
+                         "before/after comparisons)")
     args = ap.parse_args()
 
     from mgroms_tpu import NHModel, SolverConfig
@@ -47,7 +51,8 @@ def main():
     else:
         from mgroms_tpu.cases.seamount import setup_seamount as setup
     case = setup(args.nx, args.ny, args.nz, dtype=dt)
-    cfg = SolverConfig(dtype="float32", coarsest="direct")
+    cfg = SolverConfig(dtype="float32", coarsest="direct",
+                       fused_sweep_chunks=args.chunks)
     m = NHModel(args.nx, args.ny, args.nz, cfg=cfg)
     m.set_matrices(case.dx, case.dy, case.zeta, case.h, hc=case.hc,
                    theta_b=case.theta_b, theta_s=case.theta_s)
