@@ -158,13 +158,27 @@ def _device_time_call(backend, op: str, lev: int, args, kw,
 
     a0, k0 = rebuild(arrs)
     out0 = getattr(backend, op)(lev, *a0, **k0)
+    # index of the first float input leaf: one element of it is
+    # perturbed from the previous output each iteration, so the loop
+    # body DEPENDS on the carry — without this, XLA hoists the
+    # loop-invariant op out of the timing fori_loop and the measurement
+    # collapses to ~0 (observed at CUC scale: implied 16 ms vs 132
+    # measured)
+    fi = next((i for i, a in enumerate(arrs)
+               if jnp.issubdtype(a.dtype, jnp.floating)), None)
 
     def step(c):
-        be, arrs_c, _ = c
+        be, arrs_c, out = c
+        if fi is not None:
+            lo = jax.tree_util.tree_leaves(out)[0]
+            eps = (lo.ravel()[0] * 1e-30).astype(arrs_c[fi].dtype)
+            arrs_c = list(arrs_c)
+            arrs_c[fi] = arrs_c[fi].at[
+                (0,) * arrs_c[fi].ndim].add(eps)
         a, k = rebuild(arrs_c)
         return (be, arrs_c, getattr(be, op)(lev, *a, **k))
 
-    return time_device_fn(step, (backend, arrs, out0), iters=iters)
+    return time_device_fn(step, (backend, list(arrs), out0), iters=iters)
 
 
 def profile_fcycle(backend, b, cfg, device_timer: bool = False,
