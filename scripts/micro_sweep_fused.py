@@ -1,10 +1,13 @@
 """One-off: fused-sweep kernel vs the per-color tiled path at CUC level-0
 shapes (synthetic operator data — timing depends only on shapes).
 
-The hypothesis (sweep_fused.py docstring): the per-color kernel streams
-every operator band from HBM twice per sweep; fusing both colors into one
-pallas_call halves operator traffic and reads state once.  Expected from
-the traffic model: ~13.6 -> ~9 ms/sweep f32 bands, ~6.5 ms with bf16 bands.
+Round-4 measured results (one v5e chip, CUC level 0): tiled 12.5-13.4
+ms/sweep; fused v2 Element-window chunked 17.0 f32 / 14.3 bf16; fused v3
+packed-stream 22.7 f32 — the traffic model's predicted win never
+materializes because the fused access patterns run at a lower effective
+HBM rate (docs/kernel_dma_notes.md).  Level 1 (MS_NZ=32 MS_NY=512
+MS_NX=512): tiled 1.57, packed 2.1.  The script remains the harness for
+any future kernel variant.
 
 Usage: PYTHONPATH=/root/.axon_site:. python scripts/micro_sweep_fused.py
 """
