@@ -37,7 +37,7 @@ from ..relax import thomas_factored_unrolled
 from ..relax_compact import (_FC_TARGETS, _RB_TARGETS, _TKEYS, CompactPack,
                              _kshift, build_compact_pack, extend_quads,
                              gather_blocks, gather_keys, merge_quads,
-                             split_quads)
+                             split_quads, wide_slices)
 
 _z = np.int32(0)   # index maps must return i32: literal ints trace as
                    # i64 under jax_enable_x64 (refine pairs an f64 host
@@ -101,8 +101,13 @@ def _kernel(*refs, target, real_matrix, tj, nkeys):
     a, b = target
     e = {key: refs[i][:, : tj + 2, :]
          for i, key in enumerate(_gather_quads(target))}
-    blocks = tuple(refs[3 + m][:] for m in range(nkeys))
-    ud_ref, bet_ref, gam_ref, bq_ref, out_ref = refs[3 + nkeys:]
+    # the gather blocks arrive as ONE wide lane-concatenated stream —
+    # a single (nz, tj, nkeys*W) DMA per step runs at the wide-aligned
+    # HBM rate (~711 GB/s) where nkeys separate (nz, tj, W) streams ran
+    # at ~230-240 (micro_dma_probe); W-aligned ref slices recover the
+    # individual blocks for free
+    blocks = wide_slices(refs[3], nkeys)
+    ud_ref, bet_ref, gam_ref, bq_ref, out_ref = refs[4:]
     nz = out_ref.shape[0]
     dt = out_ref.dtype
     k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
@@ -114,16 +119,17 @@ def _kernel(*refs, target, real_matrix, tj, nkeys):
 
 @functools.partial(jax.jit,
                    static_argnames=("target", "real_matrix", "interpret"))
-def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
+def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
                        ud_t, bet_t, gam_t, target, real_matrix: bool,
                        interpret: bool = False) -> jnp.ndarray:
     """Update ONE target quad.  ``e3``: the three quad-extended state
     arrays the gather reads (nz, H+2, W+2) in ``_gather_quads(target)``
-    order; ``bq_t``: (nz, H, W) the target's RHS quad; ``blocks_t``/
+    order; ``bq_t``: (nz, H, W) the target's RHS quad; ``blocks_w``
+    (the wide lane-concatenated gather blocks, (nz, H, nkeys*W))/
     ``ud_t``/``bet_t``/``gam_t``: the target's persisted pack fields.
     Returns the new quad (nz, H, W)."""
     nz, H, W = bq_t.shape
-    nkeys = len(blocks_t)
+    nkeys = blocks_w.shape[2] // W
     tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize)
     assert tj is not None, f"relax tiled kernel unsupported for H={H}"
     wpad = _roundup8(tj + 2)
@@ -151,8 +157,13 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT)
+    def wide_spec():
+        return pl.BlockSpec((nz, tj, nkeys * W), lambda i: (_z, i, _z),
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(2))
+
     in_specs = ([win_spec() for _ in range(3)]
-                + [blk_spec(nz) for _ in range(nkeys)]
+                + [wide_spec()]
                 + [blk_spec(nz - 1), blk_spec(nz), blk_spec(nz - 1),
                    pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                                 memory_space=pltpu.VMEM)])
@@ -165,7 +176,7 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_t: tuple,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,
-    )(*e3, *blocks_t, ud_t, bet_t, gam_t, bq_t)
+    )(*e3, blocks_w, ud_t, bet_t, gam_t, bq_t)
 
 
 def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
@@ -175,8 +186,8 @@ def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
     restriction is fine2coarse_3D's child sum (mg_intergrids.f90:139-162)."""
     a, b_ = target
     e = {key: refs[i][:, : tj + 2, :] for i, key in enumerate(_TKEYS)}
-    blocks = tuple(refs[4 + m][:] for m in range(nkeys))
-    d_ref, ud_ref, bq_ref, out_ref = refs[4 + nkeys:]
+    blocks = wide_slices(refs[4], nkeys)     # see _kernel
+    d_ref, ud_ref, bq_ref, out_ref = refs[5:]
     nz = d_ref.shape[0]
     dt = out_ref.dtype
     k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
@@ -199,12 +210,12 @@ def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
 
 @functools.partial(jax.jit,
                    static_argnames=("target", "real_matrix", "interpret"))
-def _rr_one(e4: tuple, bq_t, blocks_t: tuple, d_t, ud_t, target,
+def _rr_one(e4: tuple, bq_t, blocks_w, d_t, ud_t, target,
             real_matrix: bool, interpret: bool = False) -> jnp.ndarray:
     """One target's fused residual+restrict: (nz, H, W) quad data ->
     (nz/2, H, W) z-paired residual sums."""
     nz, H, W = bq_t.shape
-    nkeys = len(blocks_t)
+    nkeys = blocks_w.shape[2] // W
     tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize,
                   nwin=4, win_buf=2)
     assert tj is not None, f"residual_restrict kernel unsupported for H={H}"
@@ -230,8 +241,13 @@ def _rr_one(e4: tuple, bq_t, blocks_t: tuple, d_t, ud_t, target,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT)
+    def wide_spec():
+        return pl.BlockSpec((nz, tj, nkeys * W), lambda i: (_z, i, _z),
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(2))
+
     in_specs = ([win_spec() for _ in range(4)]
-                + [blk_spec(nz) for _ in range(nkeys)]
+                + [wide_spec()]
                 + [blk_spec(nz), blk_spec(nz - 1),
                    pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                                 memory_space=pltpu.VMEM)])
@@ -244,7 +260,7 @@ def _rr_one(e4: tuple, bq_t, blocks_t: tuple, d_t, ud_t, target,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,
-    )(*e4, *blocks_t, d_t, ud_t, bq_t)
+    )(*e4, blocks_w, d_t, ud_t, bq_t)
 
 
 def residual_restrict_tiled(p: jnp.ndarray, b: jnp.ndarray,

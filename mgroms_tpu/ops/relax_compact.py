@@ -220,9 +220,16 @@ def gather_keys(real_matrix: bool) -> tuple:
 class CompactPack(NamedTuple):
     """Persisted per-level smoother operator in quad-gather layout.
 
-    All fields are tuples indexed by target quad (``_TKEYS`` order); block
-    arrays are interior-quad-shaped (nz, H, W) = (nz, ny/2, nx/2) and
-    aligned (no halo ring) — exactly what each gather term multiplies.
+    All fields are tuples indexed by target quad (``_TKEYS`` order).
+    ``blocks[target]`` is the target's gather blocks lane-CONCATENATED
+    into ONE wide aligned array (nz, H, nkeys*W) in ``gather_keys``
+    order (round 4: the DMA rate of a Pallas stream is set by its
+    per-(row, z) transfer width — scripts/micro_dma_probe measured 14
+    separate (nz, tj, W) block streams at ~230-240 GB/s but one wide
+    (nz, tj, nkeys*W) stream at 711 GB/s; in-kernel slicing at W-aligned
+    lane offsets recovers the individual blocks for free, and
+    concat-then-slice is bitwise the separate-arrays form).  Use
+    :func:`wide_slices` to view the individual (nz, H, W) blocks.
 
     ``bet``/``gam`` are the precomputed Thomas pivots (ops/relax.
     thomas_factor): the smoothing hot path is division-free and skips the
@@ -254,9 +261,9 @@ def build_compact_pack(cA: jnp.ndarray, real_matrix: bool) -> CompactPack:
     keys = gather_keys(real_matrix)
     blocks, ds, uds, bets, gams = [], [], [], [], []
     for (a, b) in _TKEYS:
-        blocks.append(tuple(
+        blocks.append(jnp.concatenate([
             _qread(qa[n - 1], a, b, bj, bi, bk)
-            for (n, (bk, bj, bi)) in keys))
+            for (n, (bk, bj, bi)) in keys], axis=2))
         d = qa[0][(a, b)][:, 1:-1, 1:-1]
         ud = qa[1][(a, b)][1:, 1:-1, 1:-1]
         bet, gam = thomas_factor(d, ud)
@@ -269,11 +276,21 @@ def build_compact_pack(cA: jnp.ndarray, real_matrix: bool) -> CompactPack:
                        real_matrix=real_matrix)
 
 
-def gather_blocks(e: Quads, blocks_t: tuple, a: int, b: int,
+def wide_slices(wide, nkeys: int) -> tuple:
+    """The ``nkeys`` individual (nz, H, W) gather blocks of a
+    lane-concatenated wide array (nz, H, nkeys*W) — aligned lane slices
+    (free in-kernel; fused by XLA outside)."""
+    W = wide.shape[2] // nkeys
+    return tuple(wide[:, :, m * W: (m + 1) * W] for m in range(nkeys))
+
+
+def gather_blocks(e: Quads, blocks_t, a: int, b: int,
                   real_matrix: bool, k0: jnp.ndarray) -> jnp.ndarray:
     """Off-column coupling sum for target quad (a, b) from persisted
     gather blocks — same term order (and bitwise result) as the reference
-    gather (mg_relax.f90:263-300)."""
+    gather (mg_relax.f90:263-300).  ``blocks_t`` is the tuple of
+    per-key blocks (:func:`wide_slices` of the pack's wide array, or any
+    equal-shaped views)."""
     keys = gather_keys(real_matrix)
     idx = {k: i for i, k in enumerate(keys)}
 
@@ -345,11 +362,13 @@ def relax_compact_quads(q0: Quads, bq: Quads, pack: CompactPack,
     k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
           ).astype(dt) if real_matrix else None
 
+    nkeys = len(gather_keys(real_matrix))
+
     def color_update(q: Quads, targets) -> Quads:
         e = extend(q)
-        rhs = [bq[t] - gather_blocks(e, pack.blocks[ti[t]], t[0], t[1],
-                                     real_matrix, k0)
-               for t in targets]
+        rhs = [bq[t] - gather_blocks(
+            e, wide_slices(pack.blocks[ti[t]], nkeys), t[0], t[1],
+            real_matrix, k0) for t in targets]
         # concat target quads along x: one full-width tridiag solve
         cat = lambda f: jnp.concatenate([f[ti[t]] for t in targets], axis=-1)
         r = jnp.concatenate(rhs, axis=-1)
@@ -400,6 +419,7 @@ def residual_quads(q: Quads, bq: Quads, pack: CompactPack,
     k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
           ).astype(dt) if real_matrix else None
     ti = {t: i for i, t in enumerate(_TKEYS)}
+    nkeys = len(gather_keys(real_matrix))
     out = {}
     for t in _TKEYS:
         m = ti[t]
@@ -412,8 +432,8 @@ def residual_quads(q: Quads, bq: Quads, pack: CompactPack,
                   - pack.d[m] * pq
                   - lo2 * _kshift(pq, -1)
                   - hi2 * _kshift(pq, 1)
-                  - gather_blocks(e, pack.blocks[m], t[0], t[1],
-                                  real_matrix, k0))
+                  - gather_blocks(e, wide_slices(pack.blocks[m], nkeys),
+                                  t[0], t[1], real_matrix, k0))
     return out
 
 

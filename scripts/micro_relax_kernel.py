@@ -34,7 +34,7 @@ def main():
 
     def run(name, real_matrix, iters=30):
         nkeys = len(gather_keys(real_matrix))
-        blocks = tuple(arr(nz, H, W) for _ in range(nkeys))
+        blocks = arr(nz, H, nkeys * W)   # wide lane-concatenated form
         ud, bet, gam = arr(nz - 1, H, W), arr(nz, H, W), arr(nz - 1, H, W)
         bq = arr(nz, H, W)
         e3 = tuple(arr(nz, H + 2, W + 2) for _ in range(3))

@@ -158,9 +158,11 @@ def test_consistent_pivots_preserve_row_sums():
               ).astype(jnp.float32)
         # recover d' from the returned pivots: bet' = 1/d' at k=0
         d2_k0 = 1.0 / bet2[m][0]
-        rounded = tuple(x.astype(bd).astype(jnp.float32)
-                        for x in pack.blocks[m])
-        s_orig = gather_blocks(e1, pack.blocks[m], a, b_, True, k0)
+        from mgroms_tpu.ops.relax_compact import gather_keys, wide_slices
+        nk = len(gather_keys(True))
+        blks = wide_slices(pack.blocks[m], nk)
+        rounded = tuple(x.astype(bd).astype(jnp.float32) for x in blks)
+        s_orig = gather_blocks(e1, blks, a, b_, True, k0)
         s_round = gather_blocks(e1, rounded, a, b_, True, k0)
         # row sum at k=0 (no vertical term from below): d + s must match
         np.testing.assert_allclose(
