@@ -10,8 +10,8 @@ wall-normal velocity fluxes (``lbc_null``, :952-1013).
 Here per-level state is interior-only and BCs are a *pure function*:
 ``extend()`` returns a halo-extended copy.  XLA fuses the concatenations
 into the consuming stencil, so this costs no extra HBM round-trip.  The
-distributed version (mgroms_tpu/parallel/halo.py) uses the same edge rules
-at physical domain edges and ``ppermute`` data at shard seams.
+distributed version (mgroms_tpu/parallel/exchange.py) uses the same edge
+rules at physical domain edges and ``ppermute`` data at shard seams.
 
 Index convention: arrays are [..., j, i] (layout (nz, ny, nx) for 3-D
 fields); extension acts on the last two axes.

@@ -155,6 +155,16 @@ class SolverConfig:
             raise ValueError(f"unknown interp_type {self.interp_type!r}")
         if self.restrict_type not in ("avg", "linear"):
             raise ValueError(f"unknown restrict_type {self.restrict_type!r}")
+        if self.restrict_type == "linear":
+            # Parity stop: the reference ACCEPTS restrict='linear'
+            # (mg_namelist.f90:29) but has no linear restriction code —
+            # fine2coarse always averages (mg_intergrids.f90:16-162 has a
+            # single 1/8-sum path), so the option is silently dead there.
+            # We refuse instead of silently averaging.
+            raise NotImplementedError(
+                "restrict_type='linear' is unimplemented (the reference's "
+                "namelist option is equally dead: mg_intergrids.f90 only "
+                "averages); use 'avg'")
 
     @property
     def relax_kind(self) -> str:

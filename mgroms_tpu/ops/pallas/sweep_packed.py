@@ -1,5 +1,12 @@
 """EXPERIMENTAL tile-major packed-stream variant of the color-fused sweep.
 
+FROZEN (round 5): the closing round-4 measurement showed the level-0
+smoother stack is VPU-COMPUTE-bound, not DMA-bound
+(docs/kernel_dma_notes.md) — this kernel's premise (win by streaming the
+operator as wide contiguous DMAs) cannot beat the tiled path even at the
+711 GB/s probe rate.  Kept only as the measured record of the
+packed-stream design; do not extend.
+
 NOT wired into the solver.  Round-4 measured results at CUC shapes
 (scripts/micro_sweep_fused.py with this module, one v5e chip):
 
@@ -182,48 +189,10 @@ def supports(nz: int, H: int, W: int, itemsize: int = 4,
     return plan is not None and plan.sbuf >= 2
 
 
-def consistent_pivots(pack: CompactPack, band_dtype) -> tuple:
-    """Thomas pivots of the row-sum-CONSISTENT low-precision smoother
-    operator.
-
-    Round-3 negative result: storing the gather bands in bfloat16 while
-    the Thomas pivots keep the f32 diagonal breaks the diag = -(row sum)
-    identity the operator is built on (mg_define_matrix.f90:615-657) and
-    the smoother amplifies the constant mode — CUC convergence collapses
-    (rel residual 0.168 after 6 F-cycles vs 5.1e-05).  The fix: treat the
-    ROUNDED bands as the smoother's operator A' and rebuild its diagonal
-    so the row sums match A exactly:
-
-        d' = d + gather(1, A - A')     (per row; ones-state gather)
-
-    Rounding a persisted gather BLOCK equals rounding the band then
-    slicing, so the per-row correction is one gather of the block deltas
-    against an all-ones extended state (the same _kshift/k0 masking as
-    the smoother applies, so boundary rows correct exactly).  A' stays
-    symmetric (each band array serves both directions of its coupling
-    pair) with A'·1 = A·1; the smoother then solves a ~0.4%-perturbed
-    operator — a smoother for A in the classical perturbation sense —
-    while residuals keep using A in f32.  Returns (bet', gam') per target
-    (_TKEYS order), each thomas_factor(d', ud)."""
-    from ..relax import thomas_factor
-    from ..relax_compact import gather_blocks
-    bd = jnp.dtype(band_dtype)
-    bets, gams = [], []
-    for m, (a, b) in enumerate(_TKEYS):
-        blocks = pack.blocks[m]
-        deltas = tuple(x - x.astype(bd).astype(x.dtype) for x in blocks)
-        nz, H, W = pack.d[m].shape
-        dt = pack.d[m].dtype
-        ones = jnp.ones((nz, H + 2, W + 2), dt)
-        e1 = {t: ones for t in _TKEYS}
-        k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-              ).astype(dt) if pack.real_matrix else None
-        d2 = pack.d[m] + gather_blocks(e1, deltas, a, b,
-                                       pack.real_matrix, k0)
-        bet, gam = thomas_factor(d2, pack.ud[m])
-        bets.append(bet)
-        gams.append(gam)
-    return tuple(bets), tuple(gams)
+# consistent_pivots: shared with the shipping kernel (single source of
+# truth — the duplicated copy here went stale when CompactPack.blocks
+# switched to the lane-concatenated wide layout)
+from .sweep_fused import consistent_pivots  # noqa: E402
 
 
 class SweepOperator(NamedTuple):

@@ -584,7 +584,12 @@ def _solve_device_loop(be, b, cfg, tol, maxiter):
     bs = to_state(0, b)
     r = be.residual(0, p, bs)
     res0 = jnp.sqrt(be.norm_sq(0, r)) / bnorm
-    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=res0.dtype)
+    # sized so the last body iteration's i = maxiter-1 + cycles_per_check
+    # is always in range (an out-of-bounds .at[].set is silently DROPPED
+    # by XLA, which would leave the final residual out of the history
+    # whenever cycles_per_check does not divide maxiter)
+    hist = jnp.full((maxiter + cfg.cycles_per_check,), jnp.nan,
+                    dtype=res0.dtype)
     hist = hist.at[0].set(res0)
 
     def cond(c):
@@ -647,6 +652,10 @@ def solve_p(backend, b: jnp.ndarray, cfg: Optional[SolverConfig] = None,
         niter = int(niter)
         hist = [float(h) for h in hist[:niter + 1]]
         hist = [h for h in hist if not math.isnan(h)]
+        # b == 0 makes every entry 0/0 = NaN (the host loop returns the
+        # same degenerate history=(nan,)); keep the shape of that contract
+        if not hist:
+            hist = [float("nan")]
         res = hist[-1]
         s = backend.levels[0]
         ncores = getattr(backend, "ndevices", 1)

@@ -182,3 +182,35 @@ def test_distributed_rhs_matches_single_exactly():
     m2.distribute(4, 2, comm="gspmd")
     b2 = np.asarray(m2.rhs(u, v, w))
     np.testing.assert_array_equal(b2, b1)
+
+
+@needs8
+def test_distributed_device_loop_matches_host_loop():
+    """solver._solve_device_loop under a MESH backend: the whole
+    convergence loop as one on-device while_loop over the distributed
+    pytree must reproduce the distributed host loop's history and
+    pressure (weak spot flagged in round 4 — the parity was previously
+    pinned single-device only)."""
+    from mgroms_tpu.solver import solve_p
+    nx = ny = nz = 16
+    m = NHModel(nx, ny, nz, cfg=SolverConfig())
+    c = setup_seamount(nx, ny, nz)
+    m.set_matrices(c.dx, c.dy, c.zeta, c.h, hc=c.hc,
+                   theta_b=c.theta_b, theta_s=c.theta_s)
+    m.distribute(2, 2)
+    u, v, w = initial_velocities(nx, ny, nz)
+    b = m.rhs(u, v, w)
+    p0, i0 = solve_p(m.backend, b, m.cfg, tol=1e-10, maxiter=12,
+                     device_loop=False)
+    p1, i1 = solve_p(m.backend, b, m.cfg, tol=1e-10, maxiter=12,
+                     device_loop=True)
+    assert i1.niter == i0.niter
+    assert len(i1.history) == len(i0.history)
+    # under a mesh the while_loop program may schedule the reductions
+    # differently from the per-cycle host programs, so tiny residuals
+    # agree to roundoff, not bitwise (same contract as the other
+    # distributed history comparisons above)
+    np.testing.assert_allclose(np.array(i1.history), np.array(i0.history),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-9, atol=1e-9 * np.abs(p0).max())

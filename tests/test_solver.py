@@ -176,3 +176,41 @@ def test_nearest_interp_converges():
     b = m.rhs(u, v, w)
     p, info = m.pressure_solve(b, tol=1e-9, maxiter=40)
     assert info.res <= 1e-9
+
+
+def test_device_loop_cycles_per_check_not_dividing_maxiter():
+    """cycles_per_check that does not divide maxiter: the device loop's
+    final history write lands past maxiter — the history buffer must be
+    sized for it (an out-of-bounds .at[].set is silently dropped by XLA,
+    which used to leave the device loop reporting a stale final
+    residual)."""
+    from mgroms_tpu.solver import solve_p
+    nx = ny = nz = 16
+    m = _model(nx, ny, nz, cycles_per_check=2)
+    u, v, w = initial_velocities(nx, ny, nz)
+    b = m.rhs(u, v, w)
+    p0, i0 = solve_p(m.backend, b, m.cfg, tol=1e-10, maxiter=5,
+                     device_loop=False)
+    p1, i1 = solve_p(m.backend, b, m.cfg, tol=1e-10, maxiter=5,
+                     device_loop=True)
+    assert i1.niter == i0.niter
+    assert len(i1.history) == len(i0.history)
+    np.testing.assert_allclose(np.array(i1.history), np.array(i0.history),
+                               rtol=1e-12)
+    assert i1.res == i1.history[-1]
+
+
+def test_device_loop_zero_rhs_degenerates_like_host():
+    """b == 0 makes every residual norm 0/0 = NaN; both loop forms must
+    return the same degenerate (nan,) history instead of crashing."""
+    from mgroms_tpu.solver import solve_p
+    nx = ny = nz = 16
+    m = _model(nx, ny, nz)
+    b = jnp.zeros((nz, ny, nx), dtype=m.dtype)
+    p0, i0 = solve_p(m.backend, b, m.cfg, tol=1e-10, maxiter=4,
+                     device_loop=False)
+    p1, i1 = solve_p(m.backend, b, m.cfg, tol=1e-10, maxiter=4,
+                     device_loop=True)
+    assert i0.niter == 0 and i1.niter == 0
+    assert np.isnan(i0.history).all() and np.isnan(i1.history).all()
+    assert np.asarray(p1).max() == 0.0
