@@ -41,7 +41,7 @@ def main():
 
     from mgroms_tpu import NHModel, SolverConfig
     from mgroms_tpu.cases.seamount import initial_velocities, setup_seamount
-    from mgroms_tpu.solver import fcycle
+    from mgroms_tpu.solver import cycle_step
 
     cfg = SolverConfig(dtype=dtype,
                        coarsest="direct" if on_tpu else "relax")
@@ -71,8 +71,7 @@ def main():
 
         def body(i, state):
             p, r, hist = state
-            p = fcycle(be, p, bs, r, cfg, keep_state=True)
-            r = be.residual(0, p, bs)
+            p, r = cycle_step(be, p, bs, r, cfg)
             hist = hist.at[i + 1].set(jnp.sqrt(be.norm_sq(0, r)) / bnorm)
             return (p, r, hist)
 

@@ -27,7 +27,7 @@ def run_one(nxg, nyg, nz, npx, npy, dtype, comm="auto"):
     import jax.numpy as jnp
     from mgroms_tpu import NHModel, SolverConfig
     from mgroms_tpu.cases.seamount import initial_velocities, setup_seamount
-    from mgroms_tpu.solver import fcycle
+    from mgroms_tpu.solver import cycle_step
 
     cfg = SolverConfig(dtype=dtype, coarsest="direct")
     m = NHModel(nxg, nyg, nz, cfg=cfg)
@@ -42,8 +42,7 @@ def run_one(nxg, nyg, nz, npx, npy, dtype, comm="auto"):
 
     @jax.jit
     def step(be, p, b, r):
-        p = fcycle(be, p, b, r, cfg)
-        r = be.residual(0, p, b)
+        p, r = cycle_step(be, p, b, r, cfg)
         return p, r
 
     @jax.jit

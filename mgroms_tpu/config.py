@@ -125,6 +125,20 @@ class SolverConfig:
     # ms/sweep, docs/kernel_dma_notes.md), so the flag currently buys
     # correctness headroom for future kernels, not speed.
     fused_bands_bf16: bool = False
+    # fuse the post-sweep residual into the sweep's LAST color update
+    # (quad-persistent RB levels): an exact line solve leaves
+    # r = b - Dx - g with the gather the solve already computed, and the
+    # opposite-color state it read does not change afterwards — so the
+    # fused residual equals the fresh one exactly in exact arithmetic
+    # (the boundary mirror ring and the four 'real' plane-0 same-color
+    # couplings are re-evaluated fresh; the only implementation noise is
+    # ~1 ulp from XLA compiling the peeled final sweep outside the
+    # multi-sweep fori_loop).  Halves
+    # the residual and residual+restrict passes at level 0 (each was a
+    # full 16-term gather over all four target quads; now only the first
+    # color's two need one).  Levels smoothing with the color-fused sweep
+    # kernel keep their one-pass sweep (fusion off there).
+    fused_residual: bool = True
     # coarsest-level treatment: 'relax' (ns_coarsest smoothing sweeps,
     # reference behaviour, mg_solvers.f90:117/144) or 'direct' (multiply by
     # a precomputed dense inverse — one MXU matmul instead of ~2*ns_coarsest

@@ -62,11 +62,13 @@ def _pad_rows(a: jnp.ndarray, extra: int, axis: int) -> jnp.ndarray:
 
 
 def _pick_tj(H: int, nz: int, W: int, nkeys: int, itemsize: int,
-             nwin: int = 3, win_buf: int = 2):
+             nwin: int = 3, win_buf: int = 2, extra_blk: int = 0):
     """Row tile (multiple of 8 for the aligned blocks).  VMEM: ``nwin``
     state windows (x ``win_buf`` pipeline buffers) + (nkeys+4) aligned
     operator/rhs blocks double-buffered + out + ~10 block-sized temps
-    (gather accumulator, unrolled-Thomas state)."""
+    (gather accumulator, unrolled-Thomas state).  ``extra_blk`` adds
+    block-sized buffers (the residual-emitting kernel's d input and
+    second output, double-buffered)."""
     We = W + 2
     for cand in (16, 8):
         if H % cand:
@@ -75,7 +77,7 @@ def _pick_tj(H: int, nz: int, W: int, nkeys: int, itemsize: int,
         win = nz * wpad * We
         blk = nz * cand * W
         need = (nwin * win_buf * win
-                + 2 * (nkeys + 4) * blk + 12 * blk) * itemsize
+                + (2 * (nkeys + 4) + extra_blk) * blk + 12 * blk) * itemsize
         if need <= _PICK_BUDGET:
             return cand
     return None
@@ -108,11 +110,7 @@ def _kernel(*refs, target, real_matrix, tj, nkeys):
     # individual blocks for free
     blocks = wide_slices(refs[3], nkeys)
     ud_ref, bet_ref, gam_ref, bq_ref, out_ref = refs[4:]
-    nz = out_ref.shape[0]
-    dt = out_ref.dtype
-    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-          ).astype(dt) if real_matrix else None
-    rhs = bq_ref[:] - gather_blocks(e, blocks, a, b, real_matrix, k0)
+    rhs = bq_ref[:] - gather_blocks(e, blocks, a, b, real_matrix)
     out_ref[:] = thomas_factored_unrolled(bet_ref[:], gam_ref[:],
                                           ud_ref[:], rhs)
 
@@ -179,6 +177,94 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
     )(*e3, blocks_w, ud_t, bet_t, gam_t, bq_t)
 
 
+def _kernel_emit(*refs, target, real_matrix, tj, nkeys):
+    """Color update that ALSO emits the target's residual from its own
+    gather (ops/relax_compact.residual_from_gather, same expression
+    order): for the sweep's last color the emitted value equals a fresh
+    residual except on the boundary mirror ring and the 'real' plane-0
+    same-color couplings, which the caller patches
+    (relax_compact._patch_emitted_residual)."""
+    a, b = target
+    e = {key: refs[i][:, : tj + 2, :]
+         for i, key in enumerate(_gather_quads(target))}
+    blocks = wide_slices(refs[3], nkeys)
+    ud_ref, bet_ref, gam_ref, d_ref, bq_ref, sol_ref, res_ref = refs[4:]
+    g = gather_blocks(e, blocks, a, b, real_matrix)
+    bq = bq_ref[:]
+    sol = thomas_factored_unrolled(bet_ref[:], gam_ref[:], ud_ref[:],
+                                   bq - g)
+    sol_ref[:] = sol
+    ud = ud_ref[:]
+    z1 = jnp.zeros_like(ud[:1])
+    lo2 = jnp.concatenate([z1, ud], axis=0)
+    hi2 = jnp.concatenate([ud, z1], axis=0)
+    res_ref[:] = (bq
+                  - d_ref[:] * sol
+                  - lo2 * _kshift(sol, -1)
+                  - hi2 * _kshift(sol, 1)
+                  - g)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("target", "real_matrix", "interpret"))
+def color_update_tiled_emit(e3: tuple, bq_t: jnp.ndarray, blocks_w,
+                            ud_t, bet_t, gam_t, d_t, target,
+                            real_matrix: bool, interpret: bool = False):
+    """:func:`color_update_tiled` + in-kernel residual emission.  Returns
+    ``(new quad, raw residual)``, both (nz, H, W); the residual's plane-0
+    'real' couplings still reflect pre-update same-color values."""
+    nz, H, W = bq_t.shape
+    nkeys = blocks_w.shape[2] // W
+    tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize,
+                  extra_blk=4)
+    assert tj is not None, f"emit relax kernel unsupported for H={H}"
+    wpad = _roundup8(tj + 2)
+    extra = (H - tj + wpad) - (H + 2)
+    e3 = tuple(_pad_rows(x, extra, 1) for x in e3)
+
+    def win_spec():
+        return pl.BlockSpec((pl.Element(nz), pl.Element(wpad),
+                             pl.Element(W + 2)),
+                            lambda i: (_z, i * tj, _z),
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(2))
+
+    def blk_spec(lead):
+        return pl.BlockSpec((lead, tj, W), lambda i: (_z, i, _z),
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(2))
+
+    def wide_spec():
+        return pl.BlockSpec((nz, tj, nkeys * W), lambda i: (_z, i, _z),
+                            memory_space=pltpu.VMEM,
+                            pipeline_mode=pl.Buffered(2))
+
+    kern = functools.partial(_kernel_emit, target=target,
+                             real_matrix=real_matrix, tj=tj, nkeys=nkeys)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT)
+    in_specs = ([win_spec() for _ in range(3)]
+                + [wide_spec()]
+                + [blk_spec(nz - 1), blk_spec(nz), blk_spec(nz - 1),
+                   blk_spec(nz),
+                   pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
+                                memory_space=pltpu.VMEM)])
+    out_spec = pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((nz, H, W), bq_t.dtype),
+                   jax.ShapeDtypeStruct((nz, H, W), bq_t.dtype)),
+        grid=(H // tj,),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        interpret=interpret,
+        **kwargs,
+    )(*e3, blocks_w, ud_t, bet_t, gam_t, d_t, bq_t)
+
+
 def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
     """Fused residual + 8-child restriction for one target quad: emits the
     z-pair sums of r_quad — the target's contribution to the coarse RHS.
@@ -189,9 +275,6 @@ def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
     blocks = wide_slices(refs[4], nkeys)     # see _kernel
     d_ref, ud_ref, bq_ref, out_ref = refs[5:]
     nz = d_ref.shape[0]
-    dt = out_ref.dtype
-    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-          ).astype(dt) if real_matrix else None
     pq = e[(a, b_)][:, 1: tj + 1, 1:-1]       # own-quad interior
     ud = ud_ref[:]
     z1 = jnp.zeros_like(ud[:1])
@@ -201,7 +284,7 @@ def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
          - d_ref[:] * pq
          - lo2 * _kshift(pq, -1)
          - hi2 * _kshift(pq, 1)
-         - gather_blocks(e, blocks, a, b_, real_matrix, k0))
+         - gather_blocks(e, blocks, a, b_, real_matrix))
     # z-pair sum via static per-plane adds (a strided leading-dim slice
     # lowers to an unsupported 3-D gather in Mosaic)
     out_ref[:] = jnp.stack([r[2 * k] + r[2 * k + 1] for k in range(nz // 2)],
@@ -366,3 +449,78 @@ def relax_compact_tiled_quads(q0, bq, pack: CompactPack, nsweeps: int,
 
     flat = jax.lax.fori_loop(0, nsweeps, body, tuple(q0[k] for k in _TKEYS))
     return dict(zip(_TKEYS, flat))
+
+
+def _tiled_fused_parts(bq, pack, real_matrix, interpret, extend_fn):
+    """The tiled sweep_fn / color_update_fn / rr_fn plugged into the
+    relax_compact fused-residual orchestrators."""
+    from ..relax_compact import _TKEYS as TK
+    ti = {t: i for i, t in enumerate(TK)}
+    extend = extend_fn or extend_quads
+
+    def sweep_fn(q, n):
+        return relax_compact_tiled_quads(q, bq, pack, n, "RB", real_matrix,
+                                         interpret=interpret,
+                                         extend_fn=extend_fn)
+
+    def color_update(q, targets, emit):
+        e = extend(q)
+        q = dict(q)
+        info = {}
+        for t in targets:
+            m = ti[t]
+            e3 = tuple(e[k] for k in _gather_quads(t))
+            if emit:
+                q[t], info[t] = color_update_tiled_emit(
+                    e3, bq[t], pack.blocks[m], pack.ud[m], pack.bet[m],
+                    pack.gam[m], pack.d[m], t, real_matrix,
+                    interpret=interpret)
+            else:
+                q[t] = color_update_tiled(
+                    e3, bq[t], pack.blocks[m], pack.ud[m], pack.bet[m],
+                    pack.gam[m], t, real_matrix, interpret=interpret)
+        return q, info
+
+    def rr_fn(e2, t):
+        m = ti[t]
+        e4 = tuple(e2[k] for k in TK)
+        return _rr_one(e4, bq[t], pack.blocks[m], pack.d[m], pack.ud[m],
+                       t, real_matrix, interpret=interpret)
+
+    return sweep_fn, color_update, rr_fn
+
+
+def relax_residual_tiled_quads(q0, bq, pack: CompactPack, nsweeps: int,
+                               real_matrix: bool, interpret: bool = False,
+                               extend_fn=None):
+    """Tiled-kernel form of relax_compact.relax_residual_compact_quads:
+    ``nsweeps`` RB sweeps + fresh residual, the last color's residual
+    emitted by :func:`color_update_tiled_emit` and the first color's
+    computed fresh (XLA quad form).  Returns (q, rq); equal to
+    relax_compact_tiled_quads followed by residual_quads in exact
+    arithmetic (~1 ulp of recompilation noise across the peeled
+    final sweep)."""
+    from ..relax_compact import relax_residual_compact_quads
+    sweep_fn, color_update, _ = _tiled_fused_parts(
+        bq, pack, real_matrix, interpret, extend_fn)
+    return relax_residual_compact_quads(
+        q0, bq, pack, nsweeps, real_matrix, extend_fn=extend_fn,
+        sweep_fn=sweep_fn, color_update_fn=color_update)
+
+
+def relax_residual_restrict_tiled_quads(q0, bq, pack: CompactPack,
+                                        nsweeps: int, real_matrix: bool,
+                                        interpret: bool = False,
+                                        extend_fn=None):
+    """Tiled-kernel form of the fused V-cycle down-leg triple: ``nsweeps``
+    RB sweeps + restrict(b - A p) in one orchestration — the last color's
+    residual comes from its color update, the first color's from the
+    fused residual+restrict kernel (`_rr_one`).  Returns (q, coarse_b);
+    equal to relax_compact_tiled_quads followed by
+    residual_restrict_tiled_quads in exact arithmetic."""
+    from ..relax_compact import relax_residual_restrict_compact_quads
+    sweep_fn, color_update, rr_fn = _tiled_fused_parts(
+        bq, pack, real_matrix, interpret, extend_fn)
+    return relax_residual_restrict_compact_quads(
+        q0, bq, pack, nsweeps, real_matrix, extend_fn=extend_fn,
+        sweep_fn=sweep_fn, color_update_fn=color_update, rr_fn=rr_fn)

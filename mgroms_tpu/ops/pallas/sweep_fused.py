@@ -260,10 +260,7 @@ def consistent_pivots(pack: CompactPack, band_dtype) -> tuple:
         dt = pack.d[m].dtype
         ones = jnp.ones((nz, H + 2, W + 2), dt)
         e1 = {t: ones for t in _TKEYS}
-        k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-              ).astype(dt) if pack.real_matrix else None
-        d2 = pack.d[m] + gather_blocks(e1, deltas, a, b,
-                                       pack.real_matrix, k0)
+        d2 = pack.d[m] + gather_blocks(e1, deltas, a, b, pack.real_matrix)
         bet, gam = thomas_factor(d2, pack.ud[m])
         bets.append(bet)
         gams.append(gam)
@@ -359,8 +356,6 @@ def _kernel(*refs, tj, real_matrix, band_lp, first_chunk, last_chunk):
     n0 = tj + 2                           # phase-0 rows  [J0-1, J0+TJ]
     m0 = Wc + 2                           # phase-0 cols  [I0-1, I0+WC]
     dt = outs[0].dtype
-    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-          ).astype(dt) if real_matrix else None
 
     def band_read(n, boff, a, b, o, oc, nrows, ncols):
         bk, bj, bi = boff
@@ -376,19 +371,21 @@ def _kernel(*refs, tj, real_matrix, band_lp, first_chunk, last_chunk):
 
     def gather(a, b, o, oc, nrows, ncols, reader):
         # exact _BASE_TERMS/_REAL_TERMS summation order of
-        # relax_compact.gather_blocks (bitwise-stable)
+        # relax_compact.gather_blocks (bitwise-stable), incl. its
+        # plane-0-only evaluation of the real-matrix terms (all four
+        # have bk == pk == 0, so the slices commute with the reads)
         s = None
         for n, boff, poff in _BASE_TERMS:
             t = band_read(n, boff, a, b, o, oc, nrows, ncols) \
                 * reader(poff, a, b)
             s = t if s is None else s + t
         if real_matrix:
-            x = None
+            x0 = None
             for n, boff, poff in _REAL_TERMS:
-                t = band_read(n, boff, a, b, o, oc, nrows, ncols) \
-                    * reader(poff, a, b)
-                x = t if x is None else x + t
-            s = s + k0 * x
+                t = band_read(n, boff, a, b, o, oc, nrows, ncols)[:1] \
+                    * reader(poff, a, b)[:1]
+                x0 = t if x0 is None else x0 + t
+            s = jnp.concatenate([s[:1] + x0, s[1:]], axis=0)
         return s
 
     # -- phase 0 (color 0): rows [J0-1, J0+TJ], LANE-ALIGNED cols ----------

@@ -285,29 +285,44 @@ def wide_slices(wide, nkeys: int) -> tuple:
 
 
 def gather_blocks(e: Quads, blocks_t, a: int, b: int,
-                  real_matrix: bool, k0: jnp.ndarray) -> jnp.ndarray:
+                  real_matrix: bool, k0=None) -> jnp.ndarray:
     """Off-column coupling sum for target quad (a, b) from persisted
     gather blocks — same term order (and bitwise result) as the reference
     gather (mg_relax.f90:263-300).  ``blocks_t`` is the tuple of
     per-key blocks (:func:`wide_slices` of the pack's wide array, or any
-    equal-shaped views)."""
+    equal-shaped views).
+
+    The ``cmatrix='real'`` horizontal-diagonal couplings live on the k=1
+    plane ONLY (mg_relax.f90:271-276), so they are evaluated on that one
+    plane and summed into it by a leading-axis concat — 4 of the 16 terms
+    on 1/64 of the depth instead of a full-depth masked pass (the level-0
+    smoother is compute-bound; round-5 flop diet).  Values are bitwise the
+    old ``s + k0*x`` form on plane 0 (multiply by 1.0 is exact) and on
+    planes k>0 up to ``s + 0.0`` (identical except a signed-zero
+    normalization).  ``k0`` is accepted for backward compatibility and
+    ignored."""
+    del k0
     keys = gather_keys(real_matrix)
     idx = {k: i for i, k in enumerate(keys)}
 
-    def term(n, boff, poff):
+    def term(n, boff, poff, plane0=False):
         pk, pj, pi = poff
-        return blocks_t[idx[(n, boff)]] * _qread(e, a, b, pj, pi, pk)
+        blk = blocks_t[idx[(n, boff)]]
+        st = _qread(e, a, b, pj, pi, pk)
+        if plane0:
+            return blk[:1] * st[:1]
+        return blk * st
 
     s = None
     for n, boff, poff in _BASE_TERMS:
         t = term(n, boff, poff)
         s = t if s is None else s + t
     if real_matrix:
-        x = None
+        x0 = None
         for n, boff, poff in _REAL_TERMS:
-            t = term(n, boff, poff)
-            x = t if x is None else x + t
-        s = s + k0 * x
+            t = term(n, boff, poff, plane0=True)    # pk == 0 for all four
+            x0 = t if x0 is None else x0 + t
+        s = jnp.concatenate([s[:1] + x0, s[1:]], axis=0)
     return s
 
 
@@ -355,12 +370,7 @@ def relax_compact_quads(q0: Quads, bq: Quads, pack: CompactPack,
     extend = extend_fn or extend_quads
     targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
     ti = {t: i for i, t in enumerate(_TKEYS)}
-    nz = q0[(0, 0)].shape[0]
     W = q0[(0, 0)].shape[2]
-    dt = q0[(0, 0)].dtype
-
-    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-          ).astype(dt) if real_matrix else None
 
     nkeys = len(gather_keys(real_matrix))
 
@@ -368,7 +378,7 @@ def relax_compact_quads(q0: Quads, bq: Quads, pack: CompactPack,
         e = extend(q)
         rhs = [bq[t] - gather_blocks(
             e, wide_slices(pack.blocks[ti[t]], nkeys), t[0], t[1],
-            real_matrix, k0) for t in targets]
+            real_matrix) for t in targets]
         # concat target quads along x: one full-width tridiag solve
         cat = lambda f: jnp.concatenate([f[ti[t]] for t in targets], axis=-1)
         r = jnp.concatenate(rhs, axis=-1)
@@ -405,36 +415,317 @@ def relax_compact_quads(q0: Quads, bq: Quads, pack: CompactPack,
     return dict(zip(keys, flat))
 
 
+def _residual_one_core(e: Quads, bq_t, d, ud, blocks_t,
+                       t: Tuple[int, int], real_matrix: bool
+                       ) -> jnp.ndarray:
+    """Fresh residual of ONE target quad from the extended state ``e`` —
+    the per-target body of :func:`residual_quads` (exact expression
+    order; every fused/partial residual path must reproduce it bitwise).
+    All operands may be consistently row/col-sliced sub-boxes
+    (:func:`_residual_box`): slicing commutes with every term."""
+    pq = e[t][:, 1:-1, 1:-1]
+    z1 = jnp.zeros_like(ud[:1])
+    lo2 = jnp.concatenate([z1, ud], axis=0)   # cA2(k),   couples p(k-1)
+    hi2 = jnp.concatenate([ud, z1], axis=0)   # cA2(k+1), couples p(k+1)
+    return (bq_t
+            - d * pq
+            - lo2 * _kshift(pq, -1)
+            - hi2 * _kshift(pq, 1)
+            - gather_blocks(e, blocks_t, t[0], t[1], real_matrix))
+
+
+def _residual_one(e: Quads, bq_t, pack: CompactPack, m: int,
+                  t: Tuple[int, int], real_matrix: bool) -> jnp.ndarray:
+    nkeys = len(gather_keys(real_matrix))
+    return _residual_one_core(e, bq_t, pack.d[m], pack.ud[m],
+                              wide_slices(pack.blocks[m], nkeys),
+                              t, real_matrix)
+
+
+def _residual_box(e: Quads, bq_t, pack: CompactPack, m: int,
+                  t: Tuple[int, int], real_matrix: bool,
+                  jsl: slice = slice(None), isl: slice = slice(None)
+                  ) -> jnp.ndarray:
+    """Fresh residual restricted to quad rows ``jsl`` x cols ``isl`` —
+    every operand sliced consistently, then the exact
+    :func:`_residual_one_core` expression (bitwise-equal to slicing the
+    full fresh residual)."""
+    nkeys = len(gather_keys(real_matrix))
+
+    def ext(s):
+        # output rows [start, stop) read extended rows [start, stop + 2)
+        # (extended index = quad row + 1, stencil offsets in {-1, 0, 1})
+        return slice(None) if s == slice(None) \
+            else slice(s.start, s.stop + 2)
+
+    e_sub = {k: x[:, ext(jsl), ext(isl)] for k, x in e.items()}
+    blocks = tuple(blk[:, jsl, isl]
+                   for blk in wide_slices(pack.blocks[m], nkeys))
+    return _residual_one_core(e_sub, bq_t[:, jsl, isl],
+                              pack.d[m][:, jsl, isl],
+                              pack.ud[m][:, jsl, isl],
+                              blocks, t, real_matrix)
+
+
+def residual_from_gather(bq_t, sol, pack: CompactPack, m: int,
+                         g) -> jnp.ndarray:
+    """Residual of a just-updated target from its own color update's
+    gather value ``g``: the exact line solve leaves r = b - D x - g with
+    the SAME ``g`` the solve consumed, and for the LAST color of a sweep
+    the base-term gather state (opposite-color quads) does not change
+    afterwards — so this equals the fresh residual bitwise, except
+    through the ``cmatrix='real'`` plane-0 diagonal couplings (same-color
+    reads, patched by :func:`_residual_plane0`).  Same expression order
+    as :func:`_residual_one`."""
+    ud = pack.ud[m]
+    z1 = jnp.zeros_like(ud[:1])
+    lo2 = jnp.concatenate([z1, ud], axis=0)
+    hi2 = jnp.concatenate([ud, z1], axis=0)
+    return (bq_t
+            - pack.d[m] * sol
+            - lo2 * _kshift(sol, -1)
+            - hi2 * _kshift(sol, 1)
+            - g)
+
+
+def _plane0_of_kshift(x, pk: int):
+    """Plane-0 row of ``_kshift(x, pk)`` without materializing the shift."""
+    if pk == 0:
+        return x[:1]
+    if pk == 1:
+        return x[1:2]
+    return jnp.zeros_like(x[:1])
+
+
+def _residual_plane0(e: Quads, bq_t, pack: CompactPack, m: int,
+                     t: Tuple[int, int], real_matrix: bool) -> jnp.ndarray:
+    """Plane-0 row of :func:`_residual_one` computed on plane slices, term
+    for term in the same association order (bitwise-equal to slicing the
+    full fresh residual).  Used to patch the ``cmatrix='real'`` diagonal
+    couplings of a fused last-color residual: they read the SAME-color
+    sibling quad, whose post-update values the in-sweep gather predates."""
+    a, b = t
+    keys = gather_keys(real_matrix)
+    idx = {k: i for i, k in enumerate(keys)}
+    blocks_t = wide_slices(pack.blocks[m], len(keys))
+
+    def term0(n, boff, poff):
+        pk, pj, pi = poff
+        a2, b2 = (a + pj) % 2, (b + pi) % 2
+        rj = (a + pj - a2) // 2
+        ri = (b + pi - b2) // 2
+        x = e[(a2, b2)]
+        H, W = x.shape[-2] - 2, x.shape[-1] - 2
+        st = _plane0_of_kshift(x[:, 1 + rj:1 + rj + H, 1 + ri:1 + ri + W],
+                               pk)
+        return blocks_t[idx[(n, boff)]][:1] * st
+
+    g0 = None
+    for n, boff, poff in _BASE_TERMS:
+        v = term0(n, boff, poff)
+        g0 = v if g0 is None else g0 + v
+    if real_matrix:
+        x0 = None
+        for n, boff, poff in _REAL_TERMS:
+            v = term0(n, boff, poff)
+            x0 = v if x0 is None else x0 + v
+        g0 = g0 + x0
+    pq = e[t][:, 1:-1, 1:-1]
+    ud = pack.ud[m]
+    z0 = jnp.zeros_like(bq_t[:1])
+    # lo2[0] = 0 and _kshift(pq,-1)[0] = 0 -> the term is an exact +0.0,
+    # and x - (+0.0) is the bitwise identity for every x incl. -0.0
+    return (bq_t[:1]
+            - pack.d[m][:1] * pq[:1]
+            - z0
+            - ud[:1] * pq[1:2]
+            - g0)
+
+
 def residual_quads(q: Quads, bq: Quads, pack: CompactPack,
-                   real_matrix: bool, extend_fn=None) -> Quads:
+                   real_matrix: bool, extend_fn=None,
+                   targets=None) -> Quads:
     """r = b - A p with state and result in quad-parity layout.
 
     Term for term (and bitwise) ops/stencil.residual in quad form: the same
     gather order, the same in-column diagonal/vertical handling (zero-padded
     k-shifts).  Shared by the quad-persistent V-cycle's XLA fallback and
-    mirrored by the Pallas ``_rr_kernel``."""
+    mirrored by the Pallas ``_rr_kernel``.  ``targets`` restricts the
+    output to a subset of quads (the fused-residual path computes the
+    last-updated color in-sweep and only the other color fresh)."""
     e = (extend_fn or extend_quads)(q)
-    nz = bq[(0, 0)].shape[0]
-    dt = bq[(0, 0)].dtype
-    k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-          ).astype(dt) if real_matrix else None
+    ti = {t: i for i, t in enumerate(_TKEYS)}
+    out = {}
+    for t in (targets if targets is not None else _TKEYS):
+        out[t] = _residual_one(e, bq[t], pack, ti[t], t, real_matrix)
+    return out
+
+
+def _patch_emitted_residual(e2: Quads, bq_t, pack: CompactPack, m: int,
+                            t: Tuple[int, int], real_matrix: bool,
+                            r) -> jnp.ndarray:
+    """Make an emitted last-color residual bitwise-FRESH.
+
+    Two places where the in-sweep gather differs from a fresh one:
+      1. Boundary ring — the Neumann mirror halo reflects the target's
+         own color, so the solve consumed PRE-update mirror values.
+         Exactly one quad row (j = -1 side for a = 0, j = ny side for
+         a = 1) and one quad column (by b) per target; both are
+         recomputed fresh (:func:`_residual_box`).
+      2. ``cmatrix='real'`` plane-0 diagonal couplings read the
+         same-color sibling — the whole plane 0 is recomputed fresh
+         (:func:`_residual_plane0`).
+    """
+    a, b = t
+    H, W = r.shape[1], r.shape[2]
+    J = 0 if a == 0 else H - 1
+    Ic = 0 if b == 0 else W - 1
+    row = _residual_box(e2, bq_t, pack, m, t, real_matrix,
+                        jsl=slice(J, J + 1))
+    r = jnp.concatenate([x for x in (r[:, :J], row, r[:, J + 1:])
+                         if x.shape[1]], axis=1)
+    col = _residual_box(e2, bq_t, pack, m, t, real_matrix,
+                        isl=slice(Ic, Ic + 1))
+    r = jnp.concatenate([x for x in (r[:, :, :Ic], col, r[:, :, Ic + 1:])
+                         if x.shape[2]], axis=2)
+    if real_matrix:
+        r = jnp.concatenate(
+            [_residual_plane0(e2, bq_t, pack, m, t, real_matrix),
+             r[1:]], axis=0)
+    return r
+
+
+def relax_emit_last_color(q0: Quads, bq: Quads, pack: CompactPack,
+                          nsweeps: int, real_matrix: bool,
+                          tridiag_method: str = "thomas",
+                          extend_fn=None, sweep_fn=None,
+                          color_update_fn=None):
+    """``nsweeps`` RB sweeps with the LAST color update also emitting its
+    targets' residuals from its own gather: an exact line solve leaves
+    r = b - Dx - g with the solve's own ``g``, and the base-term state it
+    read (opposite-color quads) does not change after the last color —
+    so the emitted residual equals a fresh one, except through the
+    boundary mirror ring and the ``cmatrix='real'`` plane-0 same-color
+    couplings (callers patch both with
+    :func:`_patch_emitted_residual`).
+
+    Returns ``(q, info)`` — the post-sweep state and
+    ``{target: raw residual}`` for the last color's targets.
+
+    ``sweep_fn(q, n)`` runs the first ``nsweeps - 1`` full sweeps
+    (default: the XLA compact path); ``color_update_fn(q, targets, emit)
+    -> (q, info)`` substitutes the per-color update (the tiled-Pallas
+    path).  Peeling the last sweep is arithmetic-neutral: the per-sweep
+    ops are identical in and out of the fori_loop."""
+    assert nsweeps >= 1, "fused relax+residual needs at least one sweep"
+    extend = extend_fn or extend_quads
     ti = {t: i for i, t in enumerate(_TKEYS)}
     nkeys = len(gather_keys(real_matrix))
-    out = {}
-    for t in _TKEYS:
-        m = ti[t]
-        pq = e[t][:, 1:-1, 1:-1]
-        ud = pack.ud[m]
-        z1 = jnp.zeros_like(ud[:1])
-        lo2 = jnp.concatenate([z1, ud], axis=0)   # cA2(k),   couples p(k-1)
-        hi2 = jnp.concatenate([ud, z1], axis=0)   # cA2(k+1), couples p(k+1)
-        out[t] = (bq[t]
-                  - pack.d[m] * pq
-                  - lo2 * _kshift(pq, -1)
-                  - hi2 * _kshift(pq, 1)
-                  - gather_blocks(e, wide_slices(pack.blocks[m], nkeys),
-                                  t[0], t[1], real_matrix, k0))
-    return out
+    W = q0[(0, 0)].shape[2]
+
+    if sweep_fn is None:
+        sweep_fn = lambda q, n: relax_compact_quads(
+            q, bq, pack, n, "RB", real_matrix,
+            tridiag_method=tridiag_method, extend_fn=extend_fn)
+    q = dict(sweep_fn(q0, nsweeps - 1)) if nsweeps > 1 else dict(q0)
+
+    def xla_color_update(q, targets, emit):
+        """The exact relax_compact_quads color update (concatenated
+        tridiag solve), optionally emitting each target's residual from
+        the in-sweep gather."""
+        e = extend(q)
+        gs = {t: gather_blocks(e, wide_slices(pack.blocks[ti[t]], nkeys),
+                               t[0], t[1], real_matrix) for t in targets}
+        rhs = [bq[t] - gs[t] for t in targets]
+        cat = lambda f: jnp.concatenate([f[ti[t]] for t in targets],
+                                        axis=-1)
+        r = jnp.concatenate(rhs, axis=-1)
+        if tridiag_method == "pcr":
+            sol = tridiag_pcr(cat(pack.d), cat(pack.ud), r)
+        else:
+            sol = tridiag_factored(cat(pack.bet), cat(pack.gam),
+                                   cat(pack.ud), r)
+        q = dict(q)
+        info = {}
+        for n, t in enumerate(targets):
+            q[t] = sol[..., n * W:(n + 1) * W]
+            if emit:
+                info[t] = residual_from_gather(bq[t], q[t], pack, ti[t],
+                                               gs[t])
+        return q, info
+
+    update = color_update_fn or xla_color_update
+    q, _ = update(q, _RB_TARGETS[0], False)
+    q, info = update(q, _RB_TARGETS[1], True)
+    return q, info
+
+
+def relax_residual_compact_quads(q0: Quads, bq: Quads, pack: CompactPack,
+                                 nsweeps: int, real_matrix: bool,
+                                 tridiag_method: str = "thomas",
+                                 extend_fn=None, sweep_fn=None,
+                                 color_update_fn=None):
+    """``nsweeps`` RB sweeps PLUS the fresh post-sweep residual, the last
+    color's residual coming from its own color update instead of a second
+    full gather pass.  Returns ``(q, rq)``, both dicts over _TKEYS;
+    equal to ``relax_compact_quads`` followed by :func:`residual_quads`
+    in exact arithmetic (~1 ulp of XLA recompilation noise across the
+    peeled final sweep; exact for nsweeps == 1)."""
+    extend = extend_fn or extend_quads
+    ti = {t: i for i, t in enumerate(_TKEYS)}
+    q, info = relax_emit_last_color(
+        q0, bq, pack, nsweeps, real_matrix,
+        tridiag_method=tridiag_method, extend_fn=extend_fn,
+        sweep_fn=sweep_fn, color_update_fn=color_update_fn)
+    # fresh residual for the first color (its neighbours changed in the
+    # second color's update) + the patched emitted last-color residuals
+    e2 = extend(q)
+    rq = {}
+    for t in _RB_TARGETS[0]:
+        rq[t] = _residual_one(e2, bq[t], pack, ti[t], t, real_matrix)
+    for t in _RB_TARGETS[1]:
+        rq[t] = _patch_emitted_residual(e2, bq[t], pack, ti[t], t,
+                                        real_matrix, info[t])
+    return q, rq
+
+
+def relax_residual_restrict_compact_quads(q0: Quads, bq: Quads,
+                                          pack: CompactPack, nsweeps: int,
+                                          real_matrix: bool,
+                                          tridiag_method: str = "thomas",
+                                          extend_fn=None, sweep_fn=None,
+                                          color_update_fn=None,
+                                          rr_fn=None):
+    """``nsweeps`` RB sweeps PLUS the coarse RHS restrict(b - A p) — the
+    V-cycle down-leg pair with the last color's residual fused into its
+    color update.  Returns ``(q, coarse_b)`` with ``coarse_b`` the FULL
+    coarse array; equal in exact arithmetic to relax then
+    residual_restrict (the
+    z-pair/i-j summation tree matches transfer.restrict_3d).
+
+    ``rr_fn(e4, t) -> (nz/2, H, W)`` optionally computes a fresh target's
+    residual z-pair sums (the tiled `_rr_one` kernel); default derives
+    them from the XLA fresh residual.  Equal to the two-call form in
+    exact arithmetic (see :func:`relax_residual_compact_quads`)."""
+    extend = extend_fn or extend_quads
+    ti = {t: i for i, t in enumerate(_TKEYS)}
+    q, info = relax_emit_last_color(
+        q0, bq, pack, nsweeps, real_matrix,
+        tridiag_method=tridiag_method, extend_fn=extend_fn,
+        sweep_fn=sweep_fn, color_update_fn=color_update_fn)
+    e2 = extend(q)
+    zsum = lambda r: r[0::2] + r[1::2]
+    zs = {}
+    for t in _RB_TARGETS[0]:
+        if rr_fn is not None:
+            zs[t] = rr_fn(e2, t)
+        else:
+            zs[t] = zsum(_residual_one(e2, bq[t], pack, ti[t], t,
+                                       real_matrix))
+    for t in _RB_TARGETS[1]:
+        zs[t] = zsum(_patch_emitted_residual(e2, bq[t], pack, ti[t], t,
+                                             real_matrix, info[t]))
+    return q, ((zs[(0, 0)] + zs[(1, 0)]) + (zs[(0, 1)] + zs[(1, 1)]))
 
 
 def restrict_quads_to_full(rq: Quads) -> jnp.ndarray:

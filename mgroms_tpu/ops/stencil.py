@@ -76,17 +76,18 @@ def offdiag_columns(pe: jnp.ndarray, cA: jnp.ndarray, real_matrix: bool
     if real_matrix:
         # bottom-level horizontal-diagonal couplings: cA5(k=1) couples
         # (j+1, i-1), cA8(k=1) couples (j-1, i-1) (+ symmetric reads);
-        # mg_relax.f90:271-276 / :475-480.
-        # (iota-based mask: .at[].set lowers to scatter, which Pallas TPU
-        # can't lower — this function also runs inside the fused kernel)
-        nz = pe.shape[0]
-        k0 = (jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0) == 0
-              ).astype(pe.dtype)
-        s = s + k0 * (
-            band(cA, 5) * shift(pe, 0, 1, -1)
-            + band(cA, 5, dj=-1, di=1) * shift(pe, 0, -1, 1)
-            + band(cA, 8) * shift(pe, 0, -1, -1)
-            + band(cA, 8, dj=1, di=1) * shift(pe, 0, 1, 1))
+        # mg_relax.f90:271-276 / :475-480.  They exist on the k=1 plane
+        # ONLY, so evaluate them there and fold in with a leading-axis
+        # concat instead of a full-depth masked pass (4 of 16 terms on
+        # 1/nz of the depth; bitwise the old k0-masked form on plane 0,
+        # and s + 0.0 elsewhere up to signed zeros).  A concat, not
+        # .at[].set: scatter does not lower in Pallas TPU kernels, which
+        # also run this function.
+        x0 = (band(cA, 5)[:1] * shift(pe, 0, 1, -1)[:1]
+              + band(cA, 5, dj=-1, di=1)[:1] * shift(pe, 0, -1, 1)[:1]
+              + band(cA, 8)[:1] * shift(pe, 0, -1, -1)[:1]
+              + band(cA, 8, dj=1, di=1)[:1] * shift(pe, 0, 1, 1)[:1])
+        s = jnp.concatenate([s[:1] + x0, s[1:]], axis=0)
     return s
 
 

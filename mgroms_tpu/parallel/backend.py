@@ -90,6 +90,23 @@ class DistributedBackend(SingleDeviceBackend):
         return self.plan.constrain(
             lev, super().relax(lev, p, b, nsweeps))
 
+    # fused relax+residual: supports_fused_residual is inherited and is
+    # automatically False on sharded levels (state_quads needs
+    # _use_compact, which this backend restricts to replicated levels);
+    # on replicated levels the single-device orchestration is correct —
+    # only the sharding constraints are re-pinned here.
+    def relax_residual(self, lev, p, b, nsweeps):
+        p = self.plan.constrain(lev, p)
+        q, r = super().relax_residual(lev, p, b, nsweeps)
+        return self.plan.constrain(lev, q), self.plan.constrain(lev, r)
+
+    def relax_residual_restrict(self, lev, p, b, nsweeps,
+                                as_quads: bool = False):
+        p = self.plan.constrain(lev, p)
+        q, cb = super().relax_residual_restrict(lev, p, b, nsweeps,
+                                                as_quads=as_quads)
+        return self.plan.constrain(lev, q), self.plan.constrain(lev + 1, cb)
+
     def residual(self, lev, p, b):
         return self.plan.constrain(lev, super().residual(lev, p, b))
 

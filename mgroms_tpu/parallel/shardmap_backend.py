@@ -211,6 +211,15 @@ class ShardMapBackend(DistributedBackend):
                           check_vma=False)
         return f(p, b, self.packs[lev])
 
+    def supports_fused_residual(self, lev: int) -> bool:
+        # Sharded levels smooth INSIDE shard_map with the ppermute seam
+        # exchange; the fused relax+residual orchestration is not wired
+        # through that path (the inherited implementation would apply the
+        # physical mirror at shard seams).  Replicated levels use the
+        # inherited single-device orchestration, which is correct there.
+        return (not self.plan.shards[lev].sharded
+                and super().supports_fused_residual(lev))
+
     def _axes(self, lev):
         """Active mesh axis names for this level (None = dropped by staged
         agglomeration: physical mirror instead of seam exchange there)."""

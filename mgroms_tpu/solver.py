@@ -271,6 +271,82 @@ class SingleDeviceBackend:
         from .ops.pallas.stencil_tiled import supports
         return supports(spec.nzg, spec.nyg, spec.nxg, item)
 
+    # -- fused relax+residual (round 5) ------------------------------------
+    def supports_fused_residual(self, lev: int) -> bool:
+        """Can relax at this level emit the post-sweep residual from its
+        last color update (cfg.fused_residual)?  Quad-persistent RB levels
+        only; levels smoothing with the color-fused sweep kernel keep
+        their one-pass sweep (identical kernel mix = identical iterates)."""
+        cfg = self.cfg
+        if not (cfg.fused_residual and cfg.relax_kind == "RB"
+                and self.state_quads(lev)):
+            return False
+        pack = self.packs[lev]
+        if pack is not None and getattr(pack, "sweep", None) is not None \
+                and fused_sweep_wanted(cfg, self.platform):
+            return False
+        return True
+
+    def supports_fused_rr(self, lev: int) -> bool:
+        """Fused relax + residual + restrict down-leg applicability (the
+        standard 8:1 restriction only — aggressive z-coarsening keeps the
+        two-call path)."""
+        return (self.supports_fused_residual(lev)
+                and lev + 1 < self.nlevs
+                and not self.levels[lev + 1].aggressive_from_prev
+                and self.levels[lev].nzg % 2 == 0)
+
+    def _pack_or_build(self, lev: int):
+        from .ops.relax_compact import build_compact_pack
+        pack = self.packs[lev]
+        if pack is None:
+            pack = build_compact_pack(self.ops[lev].cA,
+                                      self.cfg.cmatrix == "real")
+        return pack
+
+    def relax_residual(self, lev: int, p, b, nsweeps: int):
+        """``nsweeps`` sweeps + the fresh post-sweep residual in one
+        orchestration (supports_fused_residual levels; p, b QuadFields).
+        Equal to relax followed by residual in exact arithmetic."""
+        from .ops.relax_compact import QuadField
+        pack = self._pack_or_build(lev)
+        real = self.cfg.cmatrix == "real"
+        if self._use_tiled(lev, kind="relax"):
+            from .ops.pallas.relax_tiled import relax_residual_tiled_quads
+            q, rq = relax_residual_tiled_quads(
+                p.asdict(), b.asdict(), pack, nsweeps, real,
+                interpret=self.platform == "cpu")
+        else:
+            from .ops.relax_compact import relax_residual_compact_quads
+            q, rq = relax_residual_compact_quads(
+                p.asdict(), b.asdict(), pack, nsweeps, real,
+                tridiag_method=self.cfg.tridiag)
+        return QuadField.fromdict(q), QuadField.fromdict(rq)
+
+    def relax_residual_restrict(self, lev: int, p, b, nsweeps: int,
+                                as_quads: bool = False):
+        """``nsweeps`` sweeps + coarse b = restrict(b - A p) in one
+        orchestration — the V-cycle down-leg triple (supports_fused_rr
+        levels).  Equal to relax followed by residual_restrict in exact
+        arithmetic."""
+        from .ops.relax_compact import QuadField
+        pack = self._pack_or_build(lev)
+        real = self.cfg.cmatrix == "real"
+        if self._use_tiled(lev, kind="relax"):
+            from .ops.pallas.relax_tiled import \
+                relax_residual_restrict_tiled_quads
+            q, full = relax_residual_restrict_tiled_quads(
+                p.asdict(), b.asdict(), pack, nsweeps, real,
+                interpret=self.platform == "cpu")
+        else:
+            from .ops.relax_compact import \
+                relax_residual_restrict_compact_quads
+            q, full = relax_residual_restrict_compact_quads(
+                p.asdict(), b.asdict(), pack, nsweeps, real,
+                tridiag_method=self.cfg.tridiag)
+        return (QuadField.fromdict(q),
+                QuadField.split(full) if as_quads else full)
+
     def residual(self, lev: int, p, b):
         from .ops.relax_compact import QuadField
         if isinstance(p, QuadField):
@@ -393,26 +469,59 @@ def _q(backend, lev: int) -> bool:
     return bool(fn(lev)) if fn is not None else False
 
 
-def vcycle(backend, ps: list, bs: list, top: int,
-           cfg: SolverConfig) -> list:
+def _is_quads(p) -> bool:
+    from .ops.relax_compact import QuadField
+    return isinstance(p, QuadField)
+
+
+def _fused_rr_ok(backend, lev: int, nsweeps: int, p) -> bool:
+    fn = getattr(backend, "supports_fused_rr", None)
+    return (nsweeps >= 1 and _is_quads(p)
+            and fn is not None and bool(fn(lev)))
+
+
+def _fused_res_ok(backend, lev: int, nsweeps: int, p) -> bool:
+    fn = getattr(backend, "supports_fused_residual", None)
+    return (nsweeps >= 1 and _is_quads(p)
+            and fn is not None and bool(fn(lev)))
+
+
+def vcycle(backend, ps: list, bs: list, top: int, cfg: SolverConfig,
+           emit_top_residual: bool = False):
     """One V-cycle from level ``top`` down (``Vcycle``,
-    mg_solvers.f90:129-151)."""
+    mg_solvers.f90:129-151).  Returns ``(ps, r_top)`` — ``r_top`` is the
+    fresh level-``top`` residual when ``emit_top_residual`` and the
+    backend fuses it into the final post-smoothing sweep, else None (the
+    caller computes it the plain way).  All fused variants equal the
+    two-call forms in exact arithmetic (cfg.fused_residual; ~1 ulp of
+    XLA recompilation noise across the peeled final sweep)."""
     L = backend.nlevs
     for lev in range(top, L - 1):
-        ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_pre)
-        bs[lev + 1] = backend.residual_restrict(lev, ps[lev], bs[lev],
-                                                as_quads=_q(backend, lev + 1))
+        if _fused_rr_ok(backend, lev, cfg.ns_pre, ps[lev]):
+            ps[lev], bs[lev + 1] = backend.relax_residual_restrict(
+                lev, ps[lev], bs[lev], cfg.ns_pre,
+                as_quads=_q(backend, lev + 1))
+        else:
+            ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_pre)
+            bs[lev + 1] = backend.residual_restrict(
+                lev, ps[lev], bs[lev], as_quads=_q(backend, lev + 1))
         ps[lev + 1] = backend.zeros(lev + 1, as_quads=_q(backend, lev + 1))
     ps[L - 1] = backend.relax(L - 1, ps[L - 1], bs[L - 1], cfg.ns_coarsest)
+    r_top = None
     for lev in range(L - 2, top - 1, -1):
         ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1],
                                             as_quads=_q(backend, lev))
-        ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_post)
-    return ps
+        if (lev == top and emit_top_residual
+                and _fused_res_ok(backend, lev, cfg.ns_post, ps[lev])):
+            ps[lev], r_top = backend.relax_residual(lev, ps[lev], bs[lev],
+                                                    cfg.ns_post)
+        else:
+            ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_post)
+    return ps, r_top
 
 
 def fcycle(backend, p0, b0, r0, cfg: SolverConfig,
-           keep_state: bool = False):
+           keep_state: bool = False, emit_residual: bool = False):
     """One F-cycle (``Fcycle``, mg_solvers.f90:104-126).
 
     Restricts the *current residual* r0 down all levels (the down-leg
@@ -426,6 +535,11 @@ def fcycle(backend, p0, b0, r0, cfg: SolverConfig,
     in it — the outer solve loop then never leaves quad layout (solve_p /
     bench carry state across F-cycles; the only full-array conversions are
     one split per solve and one merge of the final pressure).
+
+    With ``emit_residual=True`` returns ``(p, r)`` where ``r`` is the
+    fresh level-0 residual when the backend fuses it into the final
+    post-smoothing sweep (None otherwise — the caller falls back to a
+    plain residual call).
     """
     L = backend.nlevs
     ps = [None] * L
@@ -440,11 +554,14 @@ def fcycle(backend, p0, b0, r0, cfg: SolverConfig,
         ps[lev + 1] = backend.zeros(lev + 1, as_quads=_q(backend, lev + 1))
         r = bs[lev + 1]           # coarse residual (p=0) == b (:114)
     ps[L - 1] = backend.relax(L - 1, ps[L - 1], bs[L - 1], cfg.ns_coarsest)
+    r_top = None
     for lev in range(L - 2, -1, -1):
         ps[lev] = ps[lev] + backend.prolong(lev, ps[lev + 1],
                                             as_quads=_q(backend, lev))
-        ps = vcycle(backend, ps, bs, lev, cfg)
-    return ps[0] if keep_state else to_full(0, ps[0])
+        ps, r_top = vcycle(backend, ps, bs, lev, cfg,
+                           emit_top_residual=emit_residual and lev == 0)
+    p = ps[0] if keep_state else to_full(0, ps[0])
+    return (p, r_top) if emit_residual else p
 
 
 def vcycle2(backend, ps: list, bs: list, top: int, bottom: int,
@@ -452,8 +569,12 @@ def vcycle2(backend, ps: list, bs: list, top: int, bottom: int,
     """Partial-depth V-cycle: descend only to level ``bottom``
     (``Vcycle2``, mg_solvers.f90:155-177)."""
     for lev in range(top, bottom):
-        ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_pre)
-        bs[lev + 1] = backend.residual_restrict(lev, ps[lev], bs[lev])
+        if _fused_rr_ok(backend, lev, cfg.ns_pre, ps[lev]):
+            ps[lev], bs[lev + 1] = backend.relax_residual_restrict(
+                lev, ps[lev], bs[lev], cfg.ns_pre)
+        else:
+            ps[lev] = backend.relax(lev, ps[lev], bs[lev], cfg.ns_pre)
+            bs[lev + 1] = backend.residual_restrict(lev, ps[lev], bs[lev])
         ps[lev + 1] = backend.zeros(lev + 1)
     ps[bottom] = backend.relax(bottom, ps[bottom], bs[bottom],
                                cfg.ns_coarsest)
@@ -545,12 +666,16 @@ def cycle_step(be, p, b, r, cfg):
     only the convergence FACTOR by O(0.4%): classical mixed-precision
     iterative refinement, with the f32 true-A residual steering."""
     if cfg.fused_bands_bf16:
+        # defect form: the in-sweep residual would be the INNER system's
+        # (r - A e), not b - A p — always compute the outer one fresh
         from .ops.relax_compact import QuadField
         z = be.zeros(0, as_quads=isinstance(p, QuadField))
         p = p + fcycle(be, z, r, r, cfg, keep_state=True)
+        r = be.residual(0, p, b)
     else:
-        p = fcycle(be, p, b, r, cfg, keep_state=True)
-    r = be.residual(0, p, b)
+        p, r = fcycle(be, p, b, r, cfg, keep_state=True, emit_residual=True)
+        if r is None:
+            r = be.residual(0, p, b)
     return p, r
 
 

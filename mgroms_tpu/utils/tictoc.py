@@ -85,7 +85,8 @@ def reset_tictoc() -> None:
 # the sections the reference brackets per level (mg_relax.f90:128,146,167,
 # 188; mg_solvers.f90:45,82,108,124), in this codebase's op vocabulary
 _PROFILED_OPS = ("relax", "residual", "residual_restrict", "restrict",
-                 "prolong", "to_state", "to_full")
+                 "prolong", "to_state", "to_full",
+                 "relax_residual", "relax_residual_restrict")
 
 
 class InstrumentedBackend:

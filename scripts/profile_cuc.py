@@ -41,7 +41,7 @@ def main():
     args = ap.parse_args()
 
     from mgroms_tpu import NHModel, SolverConfig
-    from mgroms_tpu.solver import fcycle
+    from mgroms_tpu.solver import cycle_step
     from mgroms_tpu.utils.tictoc import TicToc, profile_fcycle
     from mgroms_tpu.utils.timing import time_device_fn
 
@@ -63,8 +63,7 @@ def main():
     # whole F-cycle as ONE program (the bench step, for reconciliation)
     def step(c):
         be, p, b, r = c
-        p = fcycle(be, p, b, r, cfg, keep_state=True)
-        r = be.residual(0, p, b)
+        p, r = cycle_step(be, p, b, r, cfg)
         return (be, p, b, r)
 
     q = bool(be.state_quads(0))

@@ -130,8 +130,11 @@ def test_device_loop_matches_host_loop():
                      device_loop=True)
     assert i1.niter == i0.niter
     assert len(i1.history) == len(i0.history)
+    # atol floor: residuals at the 1e-11 floor differ by ~1 ulp of the
+    # O(1) summands (the two loop forms compile the same cycle_step in
+    # different program contexts; XLA fusion choices differ)
     np.testing.assert_allclose(np.array(i1.history), np.array(i0.history),
-                               rtol=1e-12)
+                               rtol=1e-12, atol=1e-15)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
                                rtol=1e-12, atol=1e-14)
 
@@ -196,7 +199,7 @@ def test_device_loop_cycles_per_check_not_dividing_maxiter():
     assert i1.niter == i0.niter
     assert len(i1.history) == len(i0.history)
     np.testing.assert_allclose(np.array(i1.history), np.array(i0.history),
-                               rtol=1e-12)
+                               rtol=1e-12, atol=1e-15)
     assert i1.res == i1.history[-1]
 
 
