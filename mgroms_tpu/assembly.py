@@ -146,6 +146,11 @@ def assemble_bands(dx: jnp.ndarray, dy: jnp.ndarray,
     _, zx, zy, cw = slope_terms(dx, dy, zre, zwe)
     zw1 = zwe[:, 1:-1, 1:-1]
     cwsum = cw[:-1] + cw[1:]              # cw(k)+cw(k+1) at rho-levels
+    if bmask:
+        # the swapped-metric x-slope of the reference's k=1 bmask cross
+        # terms (x-difference / dy * dx — mg_define_matrix.f90:381,428;
+        # its comments say zxdy but the code swaps the metrics)
+        zxswap = 0.5 * (zre[:, 1:-1, 2:] - zre[:, 1:-1, :-2]) / dy * dx
 
     def rg(arr, dj, di, j0, j1, i0, i1):
         """arr[..., j+dj, i+di] for extended j in [j0, j1], i in [i0, i1]."""
@@ -177,10 +182,16 @@ def assemble_bands(dx: jnp.ndarray, dy: jnp.ndarray,
             - (zy_j ** 2 / cws_j + zy_jm ** 2 / cws_jm)
             - 0.25 * (zy_jm - zy_j))
     if bmask:
+        # Code-faithful to mg_define_matrix.f90:371-392: the grouping is
+        # -(T1 - T2) (net +T2), and T2's x-slope factor divides by dy and
+        # multiplies dx — the reference's own comment labels it
+        # zxdy(k,j,i) but the code swaps the metrics (repeated verbatim
+        # in the cA7 block :420-433); parity reproduces the code, not
+        # the comment (caught by tests/test_assembly_pin.py).
         bot4 = (bot4
                 - 0.5 * s3(zx, dj=-1)[0] * zy_jm / cws_jm
                 * (s3(umask, dj=-1, di=1) - s3(umask, dj=-1))
-                - 0.5 * s3(zx)[0] * zy_j / cws_j
+                + 0.5 * s3(zxswap)[0] * zy_j / cws_j
                 * (s3(umask, di=1) - s3(umask))) * s3(vmask)
     zyt_j = s3(zy)[-1]
     zyt_jm = s3(zy, dj=-1)[-1]
@@ -229,10 +240,12 @@ def assemble_bands(dx: jnp.ndarray, dy: jnp.ndarray,
             - (zx_i ** 2 / cws_i + zx_im ** 2 / cws_im)
             - 0.25 * (zx_im - zx_i))
     if bmask:
+        # -(T1 - T2) with the same swapped-metric T2 x-slope as cA4's
+        # bmask block (mg_define_matrix.f90:420-433) — see the note there
         bot7 = (bot7
                 - 0.5 * zx_im * s6(zy, di=-1)[0] / cws_im
                 * (s6(vmask, dj=1, di=-1) - s6(vmask, di=-1))
-                - 0.5 * zx_i * s6(zy)[0] / cws_i
+                + 0.5 * s6(zxswap)[0] * s6(zy)[0] / cws_i
                 * (s6(vmask, dj=1) - s6(vmask))) * s6(umask)
     top7 = (arx_over_dxu[-1]
             + 0.25 * (-s6(zx, di=-1)[-1] + s6(zx)[-1])) * s6(umask)
