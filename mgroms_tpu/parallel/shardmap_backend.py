@@ -212,13 +212,105 @@ class ShardMapBackend(DistributedBackend):
         return f(p, b, self.packs[lev])
 
     def supports_fused_residual(self, lev: int) -> bool:
-        # Sharded levels smooth INSIDE shard_map with the ppermute seam
-        # exchange; the fused relax+residual orchestration is not wired
-        # through that path (the inherited implementation would apply the
-        # physical mirror at shard seams).  Replicated levels use the
-        # inherited single-device orchestration, which is correct there.
-        return (not self.plan.shards[lev].sharded
-                and super().supports_fused_residual(lev))
+        if not self.plan.shards[lev].sharded:
+            # replicated levels use the inherited single-device
+            # orchestration (correct there)
+            return super().supports_fused_residual(lev)
+        # sharded: the orchestration runs inside shard_map with the
+        # ppermute seam exchange (the emitted-residual patches are
+        # boundary-type agnostic: the one halo-reading row/col per quad
+        # is recomputed fresh from the post-sweep extension, which is the
+        # right value under both the mirror and the seam exchange)
+        return (self.cfg.fused_residual and self.cfg.relax_kind == "RB"
+                and self.state_quads(lev))
+
+    def supports_fused_rr(self, lev: int) -> bool:
+        shf = self.plan.shards[lev]
+        if not shf.sharded:
+            return super().supports_fused_rr(lev)
+        if lev + 1 >= self.nlevs:
+            return False
+        shc = self.plan.shards[lev + 1]
+        # the local coarse tile must be exactly the local fine tile's
+        # children (same active axes, standard 8:1 restriction) — the
+        # same condition as the fused residual_restrict below
+        return (self.supports_fused_residual(lev)
+                and shc.sharded
+                and shf.shard_py == shc.shard_py
+                and shf.shard_px == shc.shard_px
+                and not self.levels[lev + 1].aggressive_from_prev
+                and self.levels[lev].nzg % 2 == 0)
+
+    def relax_residual(self, lev, p, b, nsweeps):
+        from ..ops.relax_compact import QuadField
+        if not self.plan.shards[lev].sharded:
+            return super().relax_residual(lev, p, b, nsweeps)
+        cfg = self.cfg
+        real = cfg.cmatrix == "real"
+        interpret = self.platform == "cpu"
+        use_tiled = self._use_tiled_shard(lev)
+        pya, pxa = self._axes(lev)
+        sp3 = self.plan.spec(lev, 3)
+
+        def local(pq, bq, pack_l):
+            from .exchange import extend_quads_shard
+            ext = lambda q: extend_quads_shard(q, py_axis=pya, px_axis=pxa)
+            if use_tiled:
+                from ..ops.pallas.relax_tiled import \
+                    relax_residual_tiled_quads
+                q, rq = relax_residual_tiled_quads(
+                    pq.asdict(), bq.asdict(), pack_l, nsweeps, real,
+                    interpret=interpret, extend_fn=ext)
+            else:
+                from ..ops.relax_compact import relax_residual_compact_quads
+                q, rq = relax_residual_compact_quads(
+                    pq.asdict(), bq.asdict(), pack_l, nsweeps, real,
+                    tridiag_method=cfg.tridiag, extend_fn=ext)
+            return QuadField.fromdict(q), QuadField.fromdict(rq)
+
+        f = jax.shard_map(local, mesh=self.plan.mesh,
+                          in_specs=(sp3, sp3, sp3), out_specs=(sp3, sp3),
+                          check_vma=False)
+        return f(p, b, self.packs[lev])
+
+    def relax_residual_restrict(self, lev, p, b, nsweeps,
+                                as_quads: bool = False):
+        from ..ops.relax_compact import QuadField
+        if not self.plan.shards[lev].sharded:
+            return super().relax_residual_restrict(lev, p, b, nsweeps,
+                                                   as_quads=as_quads)
+        cfg = self.cfg
+        real = cfg.cmatrix == "real"
+        interpret = self.platform == "cpu"
+        use_tiled = self._use_tiled_shard(lev)
+        pya, pxa = self._axes(lev)
+        sp3 = self.plan.spec(lev, 3)
+
+        def local(pq, bq, pack_l):
+            from .exchange import extend_quads_shard
+            ext = lambda q: extend_quads_shard(q, py_axis=pya, px_axis=pxa)
+            if use_tiled:
+                from ..ops.pallas.relax_tiled import \
+                    relax_residual_restrict_tiled_quads
+                q, full_c = relax_residual_restrict_tiled_quads(
+                    pq.asdict(), bq.asdict(), pack_l, nsweeps, real,
+                    interpret=interpret, extend_fn=ext)
+            else:
+                from ..ops.relax_compact import \
+                    relax_residual_restrict_compact_quads
+                q, full_c = relax_residual_restrict_compact_quads(
+                    pq.asdict(), bq.asdict(), pack_l, nsweeps, real,
+                    tridiag_method=cfg.tridiag, extend_fn=ext)
+            # coarse tiles are even whenever the coarse level is
+            # quad-persistent, so the local split IS the global split
+            out_c = QuadField.split(full_c) if as_quads else full_c
+            return QuadField.fromdict(q), out_c
+
+        f = jax.shard_map(local, mesh=self.plan.mesh,
+                          in_specs=(sp3, sp3, sp3),
+                          out_specs=(sp3, self.plan.spec(lev + 1, 3)),
+                          check_vma=False)
+        return f(p, b, self.packs[lev])
 
     def _axes(self, lev):
         """Active mesh axis names for this level (None = dropped by staged

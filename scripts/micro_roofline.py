@@ -148,6 +148,77 @@ def main():
     emit("bytes_blocks_mb", round(blk_bytes / 1e6, 1))
     emit("bytes_pivots_mb", round(piv_bytes / 1e6, 1))
 
+    # -- 2b. fused-residual piece costs (round-5 wiring diagnosis) ---------
+    # emit kernel vs plain color update, the XLA patch+zsum epilogue, and
+    # one fresh XLA target residual: where the fused rr's time goes.
+    from mgroms_tpu.ops.relax_compact import (CompactPack,
+                                              _patch_emitted_residual,
+                                              _residual_one, extend_quads,
+                                              wide_slices)
+
+    d_blk = arr(nz, H, W)
+    pack1 = CompactPack(blocks=(blocks,) * 4, d=(d_blk,) * 4,
+                        ud=(ud,) * 4, bet=(bet,) * 4, gam=(gam,) * 4,
+                        real_matrix=real)
+
+    def step_emit(c):
+        e3_, bq_ = c
+        sol, res = rt.color_update_tiled_emit(e3_, bq_, blocks, ud, bet,
+                                              gam, d_blk, (0, 0), real)
+        e3n = (e3_[0].at[0, 0, 0].set(sol[0, 0, 0] + res[0, 0, 0]),) \
+            + e3_[1:]
+        return (e3n, bq_)
+
+    emit("update_emit_ms",
+         round(time_device_fn(step_emit, (e3, bq), iters=30) * 1e3, 3))
+
+    q4 = {t: arr(nz, H, W) for t in
+          ((0, 0), (0, 1), (1, 0), (1, 1))}
+
+    @jax.jit
+    def epilogue(q, bq_, r_raw):
+        e2 = extend_quads(q)
+        r = _patch_emitted_residual(e2, bq_, pack1, 1, (0, 1), real, r_raw)
+        return r[0::2] + r[1::2]
+
+    def step_epi(c):
+        q, bq_, r_raw = c
+        out = epilogue(q, bq_, r_raw)
+        r2 = r_raw.at[0, 0, 0].set(out[0, 0, 0])
+        return (q, bq_, r2)
+
+    r_raw0 = arr(nz, H, W)
+    emit("patch_zsum_epilogue_ms",
+         round(time_device_fn(step_epi, (q4, bq, r_raw0), iters=30) * 1e3,
+               3))
+
+    @jax.jit
+    def fresh_one(q, bq_):
+        e2 = extend_quads(q)
+        return _residual_one(e2, bq_, pack1, 0, (0, 0), real)
+
+    def step_fresh(c):
+        q, bq_ = c
+        out = fresh_one(q, bq_)
+        q2 = dict(q)
+        q2[(0, 0)] = q[(0, 0)].at[0, 0, 0].set(out[0, 0, 0])
+        return (q2, bq_)
+
+    emit("fresh_residual_one_target_ms",
+         round(time_device_fn(step_fresh, (q4, bq), iters=30) * 1e3, 3))
+
+    def step_rr_one(c):
+        q, bq_ = c
+        e2 = extend_quads(q)
+        e4 = tuple(e2[k] for k in ((0, 0), (0, 1), (1, 0), (1, 1)))
+        out = rt._rr_one(e4, bq_, blocks, d_blk, ud, (0, 0), real)
+        q2 = dict(q)
+        q2[(0, 0)] = q[(0, 0)].at[0, 0, 0].set(out[0, 0, 0])
+        return (q2, bq_)
+
+    emit("rr_one_target_ms",
+         round(time_device_fn(step_rr_one, (q4, bq), iters=30) * 1e3, 3))
+
     # -- 3. empirical VPU FMA ceiling --------------------------------------
     NCH, REPS = 8, 64           # independent chains x chained FMAs
     bz, bj, bw = 8, 8, 512
