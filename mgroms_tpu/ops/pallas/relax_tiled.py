@@ -62,22 +62,29 @@ def _pad_rows(a: jnp.ndarray, extra: int, axis: int) -> jnp.ndarray:
 
 
 def _pick_tj(H: int, nz: int, W: int, nkeys: int, itemsize: int,
-             nwin: int = 3, win_buf: int = 2, extra_blk: int = 0):
+             nwin: int = 3, win_buf: int = 2, extra_blk: int = 0,
+             band_itemsize: int = None):
     """Row tile (multiple of 8 for the aligned blocks).  VMEM: ``nwin``
     state windows (x ``win_buf`` pipeline buffers) + (nkeys+4) aligned
     operator/rhs blocks double-buffered + out + ~10 block-sized temps
     (gather accumulator, unrolled-Thomas state).  ``extra_blk`` adds
     block-sized buffers (the residual-emitting kernel's d input and
-    second output, double-buffered)."""
+    second output, double-buffered).  ``band_itemsize`` sizes the wide
+    block stream separately (bf16 smoother bands); sub-f32 bands need a
+    16-row tile (bf16 sublane tiling)."""
+    if band_itemsize is None:
+        band_itemsize = itemsize
     We = W + 2
-    for cand in (16, 8):
+    cands = (16,) if band_itemsize < 4 else (16, 8)
+    for cand in cands:
         if H % cand:
             continue
         wpad = _roundup8(cand + 2)
         win = nz * wpad * We
         blk = nz * cand * W
-        need = (nwin * win_buf * win
-                + (2 * (nkeys + 4) + extra_blk) * blk + 12 * blk) * itemsize
+        need = ((nwin * win_buf * win
+                 + (8 + extra_blk + 12) * blk) * itemsize
+                + 2 * nkeys * blk * band_itemsize)
         if need <= _PICK_BUDGET:
             return cand
     return None
@@ -99,17 +106,35 @@ def _gather_quads(target) -> tuple:
     return ((1 - a) % 2, b), (a, (1 - b) % 2), ((1 - a) % 2, (1 - b) % 2)
 
 
+def _ref_views(wide_ref, rb_ref, nkeys, dt=None):
+    """Per-key block views from the kernel refs: the wide
+    lane-concatenated base stream (one (nz, tj, nkeys*W) DMA per step
+    runs at the wide-aligned HBM rate where nkeys separate streams ran
+    at ~1/3 of it — micro_dma_probe) plus, for cmatrix='real', the
+    single-plane real-only pair (1, tj, 2W).  Low-precision blocks
+    (cfg.fused_bands_bf16 smoother operator) are converted to ``dt`` at
+    read — the stream crosses HBM at half width, the compute stays
+    f32."""
+    base = wide_slices(wide_ref, nkeys)
+    if dt is not None and base[0].dtype != dt:
+        base = tuple(v.astype(dt) for v in base)
+    if rb_ref is None:
+        return base
+    rb = rb_ref[:]
+    if dt is not None and rb.dtype != dt:
+        rb = rb.astype(dt)
+    W = rb.shape[2] // 2
+    return base + (rb[:, :, :W], rb[:, :, W:])
+
+
 def _kernel(*refs, target, real_matrix, tj, nkeys):
     a, b = target
     e = {key: refs[i][:, : tj + 2, :]
          for i, key in enumerate(_gather_quads(target))}
-    # the gather blocks arrive as ONE wide lane-concatenated stream —
-    # a single (nz, tj, nkeys*W) DMA per step runs at the wide-aligned
-    # HBM rate (~711 GB/s) where nkeys separate (nz, tj, W) streams ran
-    # at ~230-240 (micro_dma_probe); W-aligned ref slices recover the
-    # individual blocks for free
-    blocks = wide_slices(refs[3], nkeys)
-    ud_ref, bet_ref, gam_ref, bq_ref, out_ref = refs[4:]
+    n = 4 + int(real_matrix)
+    ud_ref, bet_ref, gam_ref, bq_ref, out_ref = refs[n:]
+    blocks = _ref_views(refs[3], refs[4] if real_matrix else None, nkeys,
+                        dt=out_ref.dtype)
     rhs = bq_ref[:] - gather_blocks(e, blocks, a, b, real_matrix)
     out_ref[:] = thomas_factored_unrolled(bet_ref[:], gam_ref[:],
                                           ud_ref[:], rhs)
@@ -119,7 +144,8 @@ def _kernel(*refs, target, real_matrix, tj, nkeys):
                    static_argnames=("target", "real_matrix", "interpret"))
 def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
                        ud_t, bet_t, gam_t, target, real_matrix: bool,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       rb_t=None) -> jnp.ndarray:
     """Update ONE target quad.  ``e3``: the three quad-extended state
     arrays the gather reads (nz, H+2, W+2) in ``_gather_quads(target)``
     order; ``bq_t``: (nz, H, W) the target's RHS quad; ``blocks_w``
@@ -128,7 +154,8 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
     Returns the new quad (nz, H, W)."""
     nz, H, W = bq_t.shape
     nkeys = blocks_w.shape[2] // W
-    tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize)
+    tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize,
+                  band_itemsize=jnp.dtype(blocks_w.dtype).itemsize)
     assert tj is not None, f"relax tiled kernel unsupported for H={H}"
     wpad = _roundup8(tj + 2)
     extra = (H - tj + wpad) - (H + 2)
@@ -160,8 +187,13 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(2))
 
+    rb_in = [] if rb_t is None else [rb_t]
+    rb_specs = [] if rb_t is None else [
+        pl.BlockSpec((1, tj, 2 * W), lambda i: (_z, i, _z),
+                     memory_space=pltpu.VMEM,
+                     pipeline_mode=pl.Buffered(2))]
     in_specs = ([win_spec() for _ in range(3)]
-                + [wide_spec()]
+                + [wide_spec()] + rb_specs
                 + [blk_spec(nz - 1), blk_spec(nz), blk_spec(nz - 1),
                    pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                                 memory_space=pltpu.VMEM)])
@@ -174,7 +206,7 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,
-    )(*e3, blocks_w, ud_t, bet_t, gam_t, bq_t)
+    )(*e3, blocks_w, *rb_in, ud_t, bet_t, gam_t, bq_t)
 
 
 def _kernel_emit(*refs, target, real_matrix, tj, nkeys):
@@ -187,8 +219,9 @@ def _kernel_emit(*refs, target, real_matrix, tj, nkeys):
     a, b = target
     e = {key: refs[i][:, : tj + 2, :]
          for i, key in enumerate(_gather_quads(target))}
-    blocks = wide_slices(refs[3], nkeys)
-    ud_ref, bet_ref, gam_ref, d_ref, bq_ref, sol_ref, res_ref = refs[4:]
+    n = 4 + int(real_matrix)
+    blocks = _ref_views(refs[3], refs[4] if real_matrix else None, nkeys)
+    ud_ref, bet_ref, gam_ref, d_ref, bq_ref, sol_ref, res_ref = refs[n:]
     g = gather_blocks(e, blocks, a, b, real_matrix)
     bq = bq_ref[:]
     sol = thomas_factored_unrolled(bet_ref[:], gam_ref[:], ud_ref[:],
@@ -209,7 +242,8 @@ def _kernel_emit(*refs, target, real_matrix, tj, nkeys):
                    static_argnames=("target", "real_matrix", "interpret"))
 def color_update_tiled_emit(e3: tuple, bq_t: jnp.ndarray, blocks_w,
                             ud_t, bet_t, gam_t, d_t, target,
-                            real_matrix: bool, interpret: bool = False):
+                            real_matrix: bool, interpret: bool = False,
+                            rb_t=None):
     """:func:`color_update_tiled` + in-kernel residual emission.  Returns
     ``(new quad, raw residual)``, both (nz, H, W); the residual's plane-0
     'real' couplings still reflect pre-update same-color values."""
@@ -245,8 +279,13 @@ def color_update_tiled_emit(e3: tuple, bq_t: jnp.ndarray, blocks_w,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT)
+    rb_in = [] if rb_t is None else [rb_t]
+    rb_specs = [] if rb_t is None else [
+        pl.BlockSpec((1, tj, 2 * W), lambda i: (_z, i, _z),
+                     memory_space=pltpu.VMEM,
+                     pipeline_mode=pl.Buffered(2))]
     in_specs = ([win_spec() for _ in range(3)]
-                + [wide_spec()]
+                + [wide_spec()] + rb_specs
                 + [blk_spec(nz - 1), blk_spec(nz), blk_spec(nz - 1),
                    blk_spec(nz),
                    pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
@@ -262,7 +301,7 @@ def color_update_tiled_emit(e3: tuple, bq_t: jnp.ndarray, blocks_w,
         out_specs=(out_spec, out_spec),
         interpret=interpret,
         **kwargs,
-    )(*e3, blocks_w, ud_t, bet_t, gam_t, d_t, bq_t)
+    )(*e3, blocks_w, *rb_in, ud_t, bet_t, gam_t, d_t, bq_t)
 
 
 def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
@@ -272,8 +311,9 @@ def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
     restriction is fine2coarse_3D's child sum (mg_intergrids.f90:139-162)."""
     a, b_ = target
     e = {key: refs[i][:, : tj + 2, :] for i, key in enumerate(_TKEYS)}
-    blocks = wide_slices(refs[4], nkeys)     # see _kernel
-    d_ref, ud_ref, bq_ref, out_ref = refs[5:]
+    n = 5 + int(real_matrix)
+    blocks = _ref_views(refs[4], refs[5] if real_matrix else None, nkeys)
+    d_ref, ud_ref, bq_ref, out_ref = refs[n:]
     nz = d_ref.shape[0]
     pq = e[(a, b_)][:, 1: tj + 1, 1:-1]       # own-quad interior
     ud = ud_ref[:]
@@ -294,7 +334,8 @@ def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
 @functools.partial(jax.jit,
                    static_argnames=("target", "real_matrix", "interpret"))
 def _rr_one(e4: tuple, bq_t, blocks_w, d_t, ud_t, target,
-            real_matrix: bool, interpret: bool = False) -> jnp.ndarray:
+            real_matrix: bool, interpret: bool = False,
+            rb_t=None) -> jnp.ndarray:
     """One target's fused residual+restrict: (nz, H, W) quad data ->
     (nz/2, H, W) z-paired residual sums."""
     nz, H, W = bq_t.shape
@@ -329,8 +370,13 @@ def _rr_one(e4: tuple, bq_t, blocks_w, d_t, ud_t, target,
                             memory_space=pltpu.VMEM,
                             pipeline_mode=pl.Buffered(2))
 
+    rb_in = [] if rb_t is None else [rb_t]
+    rb_specs = [] if rb_t is None else [
+        pl.BlockSpec((1, tj, 2 * W), lambda i: (_z, i, _z),
+                     memory_space=pltpu.VMEM,
+                     pipeline_mode=pl.Buffered(2))]
     in_specs = ([win_spec() for _ in range(4)]
-                + [wide_spec()]
+                + [wide_spec()] + rb_specs
                 + [blk_spec(nz), blk_spec(nz - 1),
                    pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                                 memory_space=pltpu.VMEM)])
@@ -343,7 +389,7 @@ def _rr_one(e4: tuple, bq_t, blocks_w, d_t, ud_t, target,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,
-    )(*e4, blocks_w, d_t, ud_t, bq_t)
+    )(*e4, blocks_w, *rb_in, d_t, ud_t, bq_t)
 
 
 def residual_restrict_tiled(p: jnp.ndarray, b: jnp.ndarray,
@@ -386,7 +432,8 @@ def residual_restrict_tiled_quads(q, bq, pack: CompactPack,
     for t in _TKEYS:
         m = ti[t]
         zs[t] = _rr_one(e4, bq[t], pack.blocks[m], pack.d[m], pack.ud[m],
-                        t, real_matrix, interpret=interpret)
+                        t, real_matrix, interpret=interpret,
+                        rb_t=pack.rblocks[m] if real_matrix else None)
     return ((zs[(0, 0)] + zs[(1, 0)]) + (zs[(0, 1)] + zs[(1, 1)]))
 
 
@@ -421,15 +468,34 @@ def relax_compact_tiled_quads(q0, bq, pack: CompactPack, nsweeps: int,
     targets_by_color = _RB_TARGETS if kind == "RB" else _FC_TARGETS
     ti = {t: i for i, t in enumerate(_TKEYS)}
 
+    lp = getattr(pack, "lp", None)
+    if lp is not None:
+        # bf16 blocks need 16-row tiles (bf16 sublane tiling); shapes
+        # that cannot support one keep the f32 operator
+        nzq, Hq, Wq = pack.d[0].shape
+        nk = lp[0][0].shape[2] // Wq
+        if _pick_tj(Hq, nzq, Wq, nk, jnp.dtype(pack.d[0].dtype).itemsize,
+                    band_itemsize=jnp.dtype(lp[0][0].dtype).itemsize
+                    ) is None:
+            lp = None
+
     def color_update(q, targets):
         e = extend(q)
         q = dict(q)
         for t in targets:
             m = ti[t]
             e3 = tuple(e[k] for k in _gather_quads(t))
-            q[t] = color_update_tiled(e3, bq[t], pack.blocks[m], pack.ud[m],
-                                      pack.bet[m], pack.gam[m], t,
-                                      real_matrix, interpret=interpret)
+            if lp is not None:
+                blocks_m = lp[0][m]
+                rb_m = lp[1][m] if real_matrix else None
+                bet_m, gam_m = lp[2][m], lp[3][m]
+            else:
+                blocks_m = pack.blocks[m]
+                rb_m = pack.rblocks[m] if real_matrix else None
+                bet_m, gam_m = pack.bet[m], pack.gam[m]
+            q[t] = color_update_tiled(
+                e3, bq[t], blocks_m, pack.ud[m], bet_m, gam_m, t,
+                real_matrix, interpret=interpret, rb_t=rb_m)
         return q
 
     def sweep(q):
@@ -470,22 +536,25 @@ def _tiled_fused_parts(bq, pack, real_matrix, interpret, extend_fn):
         for t in targets:
             m = ti[t]
             e3 = tuple(e[k] for k in _gather_quads(t))
+            rb = pack.rblocks[m] if real_matrix else None
             if emit:
                 q[t], info[t] = color_update_tiled_emit(
                     e3, bq[t], pack.blocks[m], pack.ud[m], pack.bet[m],
                     pack.gam[m], pack.d[m], t, real_matrix,
-                    interpret=interpret)
+                    interpret=interpret, rb_t=rb)
             else:
                 q[t] = color_update_tiled(
                     e3, bq[t], pack.blocks[m], pack.ud[m], pack.bet[m],
-                    pack.gam[m], t, real_matrix, interpret=interpret)
+                    pack.gam[m], t, real_matrix, interpret=interpret,
+                    rb_t=rb)
         return q, info
 
     def rr_fn(e2, t):
         m = ti[t]
         e4 = tuple(e2[k] for k in TK)
         return _rr_one(e4, bq[t], pack.blocks[m], pack.d[m], pack.ud[m],
-                       t, real_matrix, interpret=interpret)
+                       t, real_matrix, interpret=interpret,
+                       rb_t=pack.rblocks[m] if real_matrix else None)
 
     return sweep_fn, color_update, rr_fn
 

@@ -249,12 +249,11 @@ def consistent_pivots(pack: CompactPack, band_dtype) -> tuple:
     while residuals keep using A in f32.  Returns (bet', gam') per target
     (_TKEYS order), each thomas_factor(d', ud)."""
     from ..relax import thomas_factor
-    from ..relax_compact import gather_blocks, gather_keys, wide_slices
+    from ..relax_compact import block_views, gather_blocks
     bd = jnp.dtype(band_dtype)
-    nkeys = len(gather_keys(pack.real_matrix))
     bets, gams = [], []
     for m, (a, b) in enumerate(_TKEYS):
-        blocks = wide_slices(pack.blocks[m], nkeys)
+        blocks = block_views(pack, m)
         deltas = tuple(x - x.astype(bd).astype(x.dtype) for x in blocks)
         nz, H, W = pack.d[m].shape
         dt = pack.d[m].dtype

@@ -237,19 +237,80 @@ class CompactPack(NamedTuple):
     quad-form residual.
     """
 
-    blocks: tuple    # per target: tuple of (nz, H, W), one per gather_keys
+    blocks: tuple    # per target: (nz, H, 12*W) wide base-key blocks
     d: tuple         # per target: (nz, H, W)   in-column diagonal
     ud: tuple        # per target: (nz-1, H, W) in-column off-diagonal
     bet: tuple       # per target: (nz, H, W)   reciprocal pivots
     gam: tuple       # per target: (nz-1, H, W) back-substitution multipliers
     real_matrix: bool
     sweep: object = None   # ops.pallas.sweep_fused.SweepOperator | None
+    # per target: (1, H, 2*W) — the two real-ONLY gather keys, stored as
+    # their k=1 plane only: they are never read anywhere else
+    # (mg_relax.f90:271-276), and carrying them full-depth in the wide
+    # stream was 2/14 of the dominant block DMA for 1/nz of the use
+    # (round-5 probe: the color update is ~91% input-DMA-bound).  None
+    # when cmatrix != 'real'.
+    rblocks: object = None
+    # low-precision SMOOTHER operator (cfg.fused_bands_bf16):
+    # (blocks_lp, rblocks_lp, bet_lp, gam_lp) with the gather blocks in
+    # bfloat16 (halving the dominant block DMA) and the Thomas pivots
+    # REBUILT from the rounded operator so diag = -(row sum) holds
+    # (sweep_fused.consistent_pivots).  Smoothing only — residuals keep
+    # the f32 true-A fields; the outer loop runs in defect-correction
+    # form (solver.cycle_step).  None unless enabled.
+    lp: object = None
 
 
 jax.tree_util.register_pytree_node(
     CompactPack,
-    lambda p: ((p.blocks, p.d, p.ud, p.bet, p.gam, p.sweep), p.real_matrix),
-    lambda aux, c: CompactPack(*c[:5], real_matrix=aux, sweep=c[5]))
+    lambda p: ((p.blocks, p.d, p.ud, p.bet, p.gam, p.sweep, p.rblocks,
+                p.lp), p.real_matrix),
+    lambda aux, c: CompactPack(*c[:5], real_matrix=aux, sweep=c[5],
+                               rblocks=c[6], lp=c[7]))
+
+
+def real_only_keys() -> tuple:
+    """The gather keys that exist ONLY through the 'real' k=1 terms —
+    gather_keys(True) minus gather_keys(False), in appended order."""
+    base = set(gather_keys(False))
+    return tuple(k for k in gather_keys(True) if k not in base)
+
+
+def block_views(pack: CompactPack, m: int, lp: bool = False) -> tuple:
+    """Per-key block views of target ``m`` in gather_keys(real) order:
+    the 12 base keys are W-aligned lane slices of the wide array; the
+    real-only keys are the (1, H, W) plane-0 halves of ``rblocks``
+    (gather_blocks only ever reads their plane 0).  ``lp`` selects the
+    low-precision smoother copies (pack.lp)."""
+    wides = pack.lp[0] if lp else pack.blocks
+    base = wide_slices(wides[m], len(gather_keys(False)))
+    if not pack.real_matrix:
+        return base
+    rb = (pack.lp[1] if lp else pack.rblocks)[m]
+    W = rb.shape[2] // 2
+    return base + (rb[:, :, :W], rb[:, :, W:])
+
+
+def smoother_operator(pack: CompactPack, m: int):
+    """(block views, bet, gam) the SMOOTHER should use for target ``m`` —
+    the low-precision consistent operator when present, else the true
+    f32 one.  Residual paths must NOT use this (they need true A)."""
+    if pack.lp is not None:
+        return (block_views(pack, m, lp=True), pack.lp[2][m],
+                pack.lp[3][m])
+    return block_views(pack, m), pack.bet[m], pack.gam[m]
+
+
+def attach_lp(pack: CompactPack, band_dtype=jnp.bfloat16) -> CompactPack:
+    """Attach the low-precision smoother operator: blocks rounded to
+    ``band_dtype`` + row-sum-consistent rebuilt pivots
+    (sweep_fused.consistent_pivots).  One-time build work."""
+    from .pallas.sweep_fused import consistent_pivots
+    bet2, gam2 = consistent_pivots(pack, band_dtype)
+    blocks_lp = tuple(b.astype(band_dtype) for b in pack.blocks)
+    rb_lp = tuple(r.astype(band_dtype) for r in pack.rblocks) \
+        if pack.real_matrix else None
+    return pack._replace(lp=(blocks_lp, rb_lp, bet2, gam2))
 
 
 def build_compact_pack(cA: jnp.ndarray, real_matrix: bool) -> CompactPack:
@@ -258,12 +319,15 @@ def build_compact_pack(cA: jnp.ndarray, real_matrix: bool) -> CompactPack:
     One-time work per level (jit it with assembly); eliminates the per-call
     ``quad_ext_bands`` pass and its CUC-scale multi-GB HBM transient."""
     qa = [quad_ext_bands(cA[n]) for n in range(cA.shape[0])]
-    keys = gather_keys(real_matrix)
-    blocks, ds, uds, bets, gams = [], [], [], [], []
+    blocks, rbs, ds, uds, bets, gams = [], [], [], [], [], []
     for (a, b) in _TKEYS:
         blocks.append(jnp.concatenate([
             _qread(qa[n - 1], a, b, bj, bi, bk)
-            for (n, (bk, bj, bi)) in keys], axis=2))
+            for (n, (bk, bj, bi)) in gather_keys(False)], axis=2))
+        if real_matrix:
+            rbs.append(jnp.concatenate([
+                _qread(qa[n - 1], a, b, bj, bi, bk)[:1]
+                for (n, (bk, bj, bi)) in real_only_keys()], axis=2))
         d = qa[0][(a, b)][:, 1:-1, 1:-1]
         ud = qa[1][(a, b)][1:, 1:-1, 1:-1]
         bet, gam = thomas_factor(d, ud)
@@ -273,7 +337,8 @@ def build_compact_pack(cA: jnp.ndarray, real_matrix: bool) -> CompactPack:
         gams.append(gam)
     return CompactPack(blocks=tuple(blocks), d=tuple(ds), ud=tuple(uds),
                        bet=tuple(bets), gam=tuple(gams),
-                       real_matrix=real_matrix)
+                       real_matrix=real_matrix,
+                       rblocks=tuple(rbs) if real_matrix else None)
 
 
 def wide_slices(wide, nkeys: int) -> tuple:
@@ -376,19 +441,28 @@ def relax_compact_quads(q0: Quads, bq: Quads, pack: CompactPack,
 
     def color_update(q: Quads, targets) -> Quads:
         e = extend(q)
+        # PCR keeps the f32 operator: it solves with pack.d directly, and
+        # a rounded gather against the true diagonal would break the
+        # row-sum consistency the lp build restores via rebuilt pivots
+        lp_ok = tridiag_method != "pcr"
+        ops_t = {t: smoother_operator(pack, ti[t]) if lp_ok
+                 else (block_views(pack, ti[t]), pack.bet[ti[t]],
+                       pack.gam[ti[t]])
+                 for t in targets}
         rhs = [bq[t] - gather_blocks(
-            e, wide_slices(pack.blocks[ti[t]], nkeys), t[0], t[1],
+            e, ops_t[t][0], t[0], t[1],
             real_matrix) for t in targets]
         # concat target quads along x: one full-width tridiag solve
         cat = lambda f: jnp.concatenate([f[ti[t]] for t in targets], axis=-1)
+        catp = lambda i: jnp.concatenate([ops_t[t][i] for t in targets],
+                                         axis=-1)
         r = jnp.concatenate(rhs, axis=-1)
         if tridiag_method == "pcr":
             sol = tridiag_pcr(cat(pack.d), cat(pack.ud), r)
         else:
             # division-free substitution with precomputed pivots — bitwise
             # the reference Thomas recurrence (ops/relax.thomas_factor)
-            sol = tridiag_factored(cat(pack.bet), cat(pack.gam),
-                                   cat(pack.ud), r)
+            sol = tridiag_factored(catp(1), catp(2), cat(pack.ud), r)
         q = dict(q)
         for n, t in enumerate(targets):
             q[t] = sol[..., n * W:(n + 1) * W]
@@ -436,10 +510,8 @@ def _residual_one_core(e: Quads, bq_t, d, ud, blocks_t,
 
 def _residual_one(e: Quads, bq_t, pack: CompactPack, m: int,
                   t: Tuple[int, int], real_matrix: bool) -> jnp.ndarray:
-    nkeys = len(gather_keys(real_matrix))
     return _residual_one_core(e, bq_t, pack.d[m], pack.ud[m],
-                              wide_slices(pack.blocks[m], nkeys),
-                              t, real_matrix)
+                              block_views(pack, m), t, real_matrix)
 
 
 def _residual_box(e: Quads, bq_t, pack: CompactPack, m: int,
@@ -450,8 +522,6 @@ def _residual_box(e: Quads, bq_t, pack: CompactPack, m: int,
     every operand sliced consistently, then the exact
     :func:`_residual_one_core` expression (bitwise-equal to slicing the
     full fresh residual)."""
-    nkeys = len(gather_keys(real_matrix))
-
     def ext(s):
         # output rows [start, stop) read extended rows [start, stop + 2)
         # (extended index = quad row + 1, stencil offsets in {-1, 0, 1})
@@ -459,8 +529,7 @@ def _residual_box(e: Quads, bq_t, pack: CompactPack, m: int,
             else slice(s.start, s.stop + 2)
 
     e_sub = {k: x[:, ext(jsl), ext(isl)] for k, x in e.items()}
-    blocks = tuple(blk[:, jsl, isl]
-                   for blk in wide_slices(pack.blocks[m], nkeys))
+    blocks = tuple(blk[:, jsl, isl] for blk in block_views(pack, m))
     return _residual_one_core(e_sub, bq_t[:, jsl, isl],
                               pack.d[m][:, jsl, isl],
                               pack.ud[m][:, jsl, isl],
@@ -507,7 +576,7 @@ def _residual_plane0(e: Quads, bq_t, pack: CompactPack, m: int,
     a, b = t
     keys = gather_keys(real_matrix)
     idx = {k: i for i, k in enumerate(keys)}
-    blocks_t = wide_slices(pack.blocks[m], len(keys))
+    blocks_t = block_views(pack, m)
 
     def term0(n, boff, poff):
         pk, pj, pi = poff
@@ -582,17 +651,58 @@ def _patch_emitted_residual(e2: Quads, bq_t, pack: CompactPack, m: int,
     Ic = 0 if b == 0 else W - 1
     row = _residual_box(e2, bq_t, pack, m, t, real_matrix,
                         jsl=slice(J, J + 1))
-    r = jnp.concatenate([x for x in (r[:, :J], row, r[:, J + 1:])
-                         if x.shape[1]], axis=1)
     col = _residual_box(e2, bq_t, pack, m, t, real_matrix,
                         isl=slice(Ic, Ic + 1))
-    r = jnp.concatenate([x for x in (r[:, :, :Ic], col, r[:, :, Ic + 1:])
-                         if x.shape[2]], axis=2)
+    # assemble in ONE nested-concat expression (a single output write;
+    # three sequential full-array patch copies measurably ate the fused
+    # residual's savings at CUC scale)
+    cat = lambda parts, ax: jnp.concatenate(
+        [x for x in parts if x.shape[ax]], axis=ax)
+
+    def with_patches(rr, rowp, colp):
+        """rows J <- rowp, cols Ic <- colp (col wins only off row J),
+        everything else rr."""
+        others = cat((rr[:, :J], rr[:, J + 1:]), 1)
+        colp_o = cat((colp[:, :J], colp[:, J + 1:]), 1)
+        others = cat((others[:, :, :Ic], colp_o, others[:, :, Ic + 1:]), 2)
+        if J == 0:
+            return cat((rowp, others), 1)
+        return cat((others, rowp), 1)
+
     if real_matrix:
-        r = jnp.concatenate(
-            [_residual_plane0(e2, bq_t, pack, m, t, real_matrix),
-             r[1:]], axis=0)
-    return r
+        p0 = _residual_plane0(e2, bq_t, pack, m, t, real_matrix)
+        body = with_patches(r[1:], row[1:], col[1:])
+        return jnp.concatenate([p0, body], axis=0)
+    return with_patches(r, row, col)
+
+
+def _patched_zsum(e2: Quads, bq_t, pack: CompactPack, m: int,
+                  t: Tuple[int, int], real_matrix: bool, r) -> jnp.ndarray:
+    """z-pair sums of a patched emitted residual, with the patches applied
+    AFTER the z-sum — half the patch-concat traffic of
+    ``zsum(_patch_emitted_residual(...))``.  Same values in exact
+    arithmetic: every patched entry is the fresh-residual expression
+    either way (ring rows/cols fully fresh; plane-0 pair = fresh plane 0
+    + raw plane 1)."""
+    a, b = t
+    H, W = r.shape[1], r.shape[2]
+    J = 0 if a == 0 else H - 1
+    Ic = 0 if b == 0 else W - 1
+    zs = r[0::2] + r[1::2]
+    if real_matrix:
+        p0 = _residual_plane0(e2, bq_t, pack, m, t, real_matrix)
+        zs = jnp.concatenate([p0 + r[1:2], zs[1:]], axis=0)
+    row = _residual_box(e2, bq_t, pack, m, t, real_matrix,
+                        jsl=slice(J, J + 1))
+    zs = jnp.concatenate(
+        [x for x in (zs[:, :J], row[0::2] + row[1::2], zs[:, J + 1:])
+         if x.shape[1]], axis=1)
+    col = _residual_box(e2, bq_t, pack, m, t, real_matrix,
+                        isl=slice(Ic, Ic + 1))
+    zs = jnp.concatenate(
+        [x for x in (zs[:, :, :Ic], col[0::2] + col[1::2],
+                     zs[:, :, Ic + 1:]) if x.shape[2]], axis=2)
+    return zs
 
 
 def relax_emit_last_color(q0: Quads, bq: Quads, pack: CompactPack,
@@ -634,7 +744,7 @@ def relax_emit_last_color(q0: Quads, bq: Quads, pack: CompactPack,
         tridiag solve), optionally emitting each target's residual from
         the in-sweep gather."""
         e = extend(q)
-        gs = {t: gather_blocks(e, wide_slices(pack.blocks[ti[t]], nkeys),
+        gs = {t: gather_blocks(e, block_views(pack, ti[t]),
                                t[0], t[1], real_matrix) for t in targets}
         rhs = [bq[t] - gs[t] for t in targets]
         cat = lambda f: jnp.concatenate([f[ti[t]] for t in targets],
@@ -723,8 +833,8 @@ def relax_residual_restrict_compact_quads(q0: Quads, bq: Quads,
             zs[t] = zsum(_residual_one(e2, bq[t], pack, ti[t], t,
                                        real_matrix))
     for t in _RB_TARGETS[1]:
-        zs[t] = zsum(_patch_emitted_residual(e2, bq[t], pack, ti[t], t,
-                                             real_matrix, info[t]))
+        zs[t] = _patched_zsum(e2, bq[t], pack, ti[t], t, real_matrix,
+                              info[t])
     return q, ((zs[(0, 0)] + zs[(1, 0)]) + (zs[(0, 1)] + zs[(1, 1)]))
 
 

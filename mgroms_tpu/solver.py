@@ -92,6 +92,12 @@ def build_relax_packs(levels, ops, cfg: SolverConfig, platform: str,
                 ops[lev].cA, pack, spec.nzg, spec.nyg // 2, spec.nxg // 2,
                 band_dtype=bd, itemsize=item,
                 force_chunks=cfg.fused_sweep_chunks))
+        if cfg.fused_bands_bf16 and jnp.dtype(cfg.dtype).itemsize <= 4:
+            # low-precision smoother blocks for the tiled/XLA compact
+            # paths (levels the fused-sweep kernel does not cover run
+            # their smoother off pack.lp; residuals keep true f32 A)
+            from .ops.relax_compact import attach_lp
+            pack = attach_lp(pack)
         packs.append(pack)
     return packs
 
@@ -280,6 +286,10 @@ class SingleDeviceBackend:
         cfg = self.cfg
         if not (cfg.fused_residual and cfg.relax_kind == "RB"
                 and self.state_quads(lev)):
+            return False
+        if cfg.fused_bands_bf16:
+            # the smoother then runs the perturbed A' operator — its
+            # in-sweep gather is not the true-A residual
             return False
         pack = self.packs[lev]
         if pack is not None and getattr(pack, "sweep", None) is not None \

@@ -158,9 +158,8 @@ def test_consistent_pivots_preserve_row_sums():
               ).astype(jnp.float32)
         # recover d' from the returned pivots: bet' = 1/d' at k=0
         d2_k0 = 1.0 / bet2[m][0]
-        from mgroms_tpu.ops.relax_compact import gather_keys, wide_slices
-        nk = len(gather_keys(True))
-        blks = wide_slices(pack.blocks[m], nk)
+        from mgroms_tpu.ops.relax_compact import block_views
+        blks = block_views(pack, m)
         rounded = tuple(x.astype(bd).astype(jnp.float32) for x in blks)
         s_orig = gather_blocks(e1, blks, a, b_, True, k0)
         s_round = gather_blocks(e1, rounded, a, b_, True, k0)
