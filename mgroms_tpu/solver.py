@@ -92,10 +92,13 @@ def build_relax_packs(levels, ops, cfg: SolverConfig, platform: str,
                 ops[lev].cA, pack, spec.nzg, spec.nyg // 2, spec.nxg // 2,
                 band_dtype=bd, itemsize=item,
                 force_chunks=cfg.fused_sweep_chunks))
-        if cfg.fused_bands_bf16 and jnp.dtype(cfg.dtype).itemsize <= 4:
+        if (cfg.fused_bands_bf16 and jnp.dtype(cfg.dtype).itemsize <= 4
+                and pack.sweep is None):
             # low-precision smoother blocks for the tiled/XLA compact
-            # paths (levels the fused-sweep kernel does not cover run
-            # their smoother off pack.lp; residuals keep true f32 A)
+            # paths — only on levels the fused-sweep kernel does NOT
+            # cover (its own bands are already bf16 there, and the lp
+            # copy costs HBM: ~1.6 GB at CUC level 0); residuals keep
+            # true f32 A
             from .ops.relax_compact import attach_lp
             pack = attach_lp(pack)
         packs.append(pack)
