@@ -132,18 +132,20 @@ def _kernel(*refs, target, real_matrix, tj, nkeys):
     e = {key: refs[i][:, : tj + 2, :]
          for i, key in enumerate(_gather_quads(target))}
     n = 4 + int(real_matrix)
-    ud_ref, bet_ref, gam_ref, bq_ref, out_ref = refs[n:]
+    ud_ref, bet_ref, bq_ref, out_ref = refs[n:]
     blocks = _ref_views(refs[3], refs[4] if real_matrix else None, nkeys,
                         dt=out_ref.dtype)
     rhs = bq_ref[:] - gather_blocks(e, blocks, a, b, real_matrix)
-    out_ref[:] = thomas_factored_unrolled(bet_ref[:], gam_ref[:],
+    # gam recomputed in-kernel (see thomas_factored_unrolled): one fewer
+    # operator stream on a DMA-bound pipeline
+    out_ref[:] = thomas_factored_unrolled(bet_ref[:], None,
                                           ud_ref[:], rhs)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("target", "real_matrix", "interpret"))
 def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
-                       ud_t, bet_t, gam_t, target, real_matrix: bool,
+                       ud_t, bet_t, target, real_matrix: bool,
                        interpret: bool = False,
                        rb_t=None) -> jnp.ndarray:
     """Update ONE target quad.  ``e3``: the three quad-extended state
@@ -194,7 +196,7 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
                      pipeline_mode=pl.Buffered(2))]
     in_specs = ([win_spec() for _ in range(3)]
                 + [wide_spec()] + rb_specs
-                + [blk_spec(nz - 1), blk_spec(nz), blk_spec(nz - 1),
+                + [blk_spec(nz - 1), blk_spec(nz),
                    pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                                 memory_space=pltpu.VMEM)])
     return pl.pallas_call(
@@ -206,7 +208,7 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,
-    )(*e3, blocks_w, *rb_in, ud_t, bet_t, gam_t, bq_t)
+    )(*e3, blocks_w, *rb_in, ud_t, bet_t, bq_t)
 
 
 def _kernel_emit(*refs, target, real_matrix, tj, nkeys):
@@ -220,11 +222,12 @@ def _kernel_emit(*refs, target, real_matrix, tj, nkeys):
     e = {key: refs[i][:, : tj + 2, :]
          for i, key in enumerate(_gather_quads(target))}
     n = 4 + int(real_matrix)
-    blocks = _ref_views(refs[3], refs[4] if real_matrix else None, nkeys)
-    ud_ref, bet_ref, gam_ref, d_ref, bq_ref, sol_ref, res_ref = refs[n:]
+    ud_ref, bet_ref, d_ref, bq_ref, sol_ref, res_ref = refs[n:]
+    blocks = _ref_views(refs[3], refs[4] if real_matrix else None, nkeys,
+                        dt=sol_ref.dtype)
     g = gather_blocks(e, blocks, a, b, real_matrix)
     bq = bq_ref[:]
-    sol = thomas_factored_unrolled(bet_ref[:], gam_ref[:], ud_ref[:],
+    sol = thomas_factored_unrolled(bet_ref[:], None, ud_ref[:],
                                    bq - g)
     sol_ref[:] = sol
     ud = ud_ref[:]
@@ -241,7 +244,7 @@ def _kernel_emit(*refs, target, real_matrix, tj, nkeys):
 @functools.partial(jax.jit,
                    static_argnames=("target", "real_matrix", "interpret"))
 def color_update_tiled_emit(e3: tuple, bq_t: jnp.ndarray, blocks_w,
-                            ud_t, bet_t, gam_t, d_t, target,
+                            ud_t, bet_t, d_t, target,
                             real_matrix: bool, interpret: bool = False,
                             rb_t=None):
     """:func:`color_update_tiled` + in-kernel residual emission.  Returns
@@ -286,7 +289,7 @@ def color_update_tiled_emit(e3: tuple, bq_t: jnp.ndarray, blocks_w,
                      pipeline_mode=pl.Buffered(2))]
     in_specs = ([win_spec() for _ in range(3)]
                 + [wide_spec()] + rb_specs
-                + [blk_spec(nz - 1), blk_spec(nz), blk_spec(nz - 1),
+                + [blk_spec(nz - 1), blk_spec(nz),
                    blk_spec(nz),
                    pl.BlockSpec((nz, tj, W), lambda i: (_z, i, _z),
                                 memory_space=pltpu.VMEM)])
@@ -301,7 +304,7 @@ def color_update_tiled_emit(e3: tuple, bq_t: jnp.ndarray, blocks_w,
         out_specs=(out_spec, out_spec),
         interpret=interpret,
         **kwargs,
-    )(*e3, blocks_w, *rb_in, ud_t, bet_t, gam_t, d_t, bq_t)
+    )(*e3, blocks_w, *rb_in, ud_t, bet_t, d_t, bq_t)
 
 
 def _rr_kernel(*refs, target, real_matrix, tj, nkeys):
@@ -488,13 +491,13 @@ def relax_compact_tiled_quads(q0, bq, pack: CompactPack, nsweeps: int,
             if lp is not None:
                 blocks_m = lp[0][m]
                 rb_m = lp[1][m] if real_matrix else None
-                bet_m, gam_m = lp[2][m], lp[3][m]
+                bet_m = lp[2][m]
             else:
                 blocks_m = pack.blocks[m]
                 rb_m = pack.rblocks[m] if real_matrix else None
-                bet_m, gam_m = pack.bet[m], pack.gam[m]
+                bet_m = pack.bet[m]
             q[t] = color_update_tiled(
-                e3, bq[t], blocks_m, pack.ud[m], bet_m, gam_m, t,
+                e3, bq[t], blocks_m, pack.ud[m], bet_m, t,
                 real_matrix, interpret=interpret, rb_t=rb_m)
         return q
 
@@ -540,12 +543,12 @@ def _tiled_fused_parts(bq, pack, real_matrix, interpret, extend_fn):
             if emit:
                 q[t], info[t] = color_update_tiled_emit(
                     e3, bq[t], pack.blocks[m], pack.ud[m], pack.bet[m],
-                    pack.gam[m], pack.d[m], t, real_matrix,
+                    pack.d[m], t, real_matrix,
                     interpret=interpret, rb_t=rb)
             else:
                 q[t] = color_update_tiled(
                     e3, bq[t], pack.blocks[m], pack.ud[m], pack.bet[m],
-                    pack.gam[m], t, real_matrix, interpret=interpret,
+                    t, real_matrix, interpret=interpret,
                     rb_t=rb)
         return q, info
 

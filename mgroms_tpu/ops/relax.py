@@ -143,9 +143,17 @@ def tridiag_factored(bet: jnp.ndarray, gam: jnp.ndarray, ud: jnp.ndarray,
     return jnp.concatenate([head, x[-1:]], axis=0)
 
 
-def thomas_factored_unrolled(bet: jnp.ndarray, gam: jnp.ndarray,
-                             ud: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Unrolled form of :func:`tridiag_factored` for Pallas kernels."""
+def thomas_factored_unrolled(bet: jnp.ndarray, gam, ud: jnp.ndarray,
+                             b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled form of :func:`tridiag_factored` for Pallas kernels.
+
+    ``gam`` may be None: the back-substitution multipliers are REDUNDANT
+    given the streamed pivots — thomas_factor computes
+    ``gam[k] = ud[k] * bet[k]`` (the pre-update reciprocal pivot), so the
+    kernel recomputes the exact same product per plane instead of
+    streaming a third (nz-1, H, W) operator array (the tiled kernels are
+    input-DMA-bound; one extra multiply on 6%-busy VPUs is free).
+    Bitwise-identical either way."""
     nz = b.shape[0]
     if nz == 1:
         return b * bet
@@ -153,7 +161,8 @@ def thomas_factored_unrolled(bet: jnp.ndarray, gam: jnp.ndarray,
     for k in range(1, nz):
         x.append((b[k] - ud[k - 1] * x[k - 1]) * bet[k])
     for k in range(nz - 2, -1, -1):
-        x[k] = x[k] - gam[k] * x[k + 1]
+        gk = gam[k] if gam is not None else ud[k] * bet[k]
+        x[k] = x[k] - gk * x[k + 1]
     return jnp.stack(x, axis=0)
 
 

@@ -75,7 +75,7 @@ def main():
     # -- 1. the real kernel ------------------------------------------------
     def step_full(c):
         e3_, bq_, (blocks_, ud_, bet_, gam_, rb_) = c
-        out = rt.color_update_tiled(e3_, bq_, blocks_, ud_, bet_, gam_,
+        out = rt.color_update_tiled(e3_, bq_, blocks_, ud_, bet_,
                                     (0, 0), real, rb_t=rb_)
         e3n = (e3_[0].at[0, 0, 0].set(out[0, 0, 0]),) + e3_[1:]
         return (e3n, bq_, (blocks_, ud_, bet_, gam_, rb_))
@@ -177,7 +177,7 @@ def main():
     def step_emit(c):
         e3_, bq_, (blocks_, ud_, bet_, gam_, rb_, d_) = c
         sol, res = rt.color_update_tiled_emit(e3_, bq_, blocks_, ud_, bet_,
-                                              gam_, d_, (0, 0), real,
+                                              d_, (0, 0), real,
                                               rb_t=rb_)
         e3n = (e3_[0].at[0, 0, 0].set(sol[0, 0, 0] + res[0, 0, 0]),) \
             + e3_[1:]
