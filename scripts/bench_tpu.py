@@ -45,6 +45,12 @@ def main():
                          "then runs in defect-correction form "
                          "(solver.cycle_step)")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--ns-pre", type=int, default=None,
+                    help="smoothing schedule override (parity default 3; "
+                         "the round-5 schedule sweep measured lighter "
+                         "schedules reaching the f32 floor faster — "
+                         "docs/schedule_sweep_r5.md)")
+    ap.add_argument("--ns-post", type=int, default=None)
     ap.add_argument("--coarsest", default="direct")
     ap.add_argument("--tridiag", default="thomas", choices=["thomas", "pcr"])
     ap.add_argument("--refine", action="store_true",
@@ -69,11 +75,16 @@ def main():
         from mgroms_tpu.cases.cuc import setup_cuc_synthetic
         case = setup_cuc_synthetic(args.nx, args.ny, args.nz, dtype=dt)
 
+    sched = {}
+    if args.ns_pre is not None:
+        sched["ns_pre"] = args.ns_pre
+    if args.ns_post is not None:
+        sched["ns_post"] = args.ns_post
     cfg = SolverConfig(dtype=args.dtype, compact=not args.no_compact,
                        use_pallas=args.pallas, coarsest=args.coarsest,
                        tridiag=args.tridiag,
                        pallas_fused_sweep=not args.no_fused_sweep,
-                       fused_bands_bf16=args.bf16_bands)
+                       fused_bands_bf16=args.bf16_bands, **sched)
     m = NHModel(args.nx, args.ny, args.nz, cfg=cfg)
     m.set_matrices(case.dx, case.dy, case.zeta, case.h, hc=case.hc,
                    theta_b=case.theta_b, theta_s=case.theta_s)
