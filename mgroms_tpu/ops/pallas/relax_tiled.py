@@ -151,9 +151,10 @@ def color_update_tiled(e3: tuple, bq_t: jnp.ndarray, blocks_w,
     """Update ONE target quad.  ``e3``: the three quad-extended state
     arrays the gather reads (nz, H+2, W+2) in ``_gather_quads(target)``
     order; ``bq_t``: (nz, H, W) the target's RHS quad; ``blocks_w``
-    (the wide lane-concatenated gather blocks, (nz, H, nkeys*W))/
-    ``ud_t``/``bet_t``/``gam_t``: the target's persisted pack fields.
-    Returns the new quad (nz, H, W)."""
+    (the wide lane-concatenated gather blocks, (nz, H, nkeys*W), f32 or
+    the bf16 lp copy)/``ud_t``/``bet_t``: the target's persisted pack
+    fields (gam is recomputed in-kernel); ``rb_t`` the single-plane
+    real-only pair.  Returns the new quad (nz, H, W)."""
     nz, H, W = bq_t.shape
     nkeys = blocks_w.shape[2] // W
     tj = _pick_tj(H, nz, W, nkeys, jnp.dtype(bq_t.dtype).itemsize,

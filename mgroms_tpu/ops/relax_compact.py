@@ -221,15 +221,16 @@ class CompactPack(NamedTuple):
     """Persisted per-level smoother operator in quad-gather layout.
 
     All fields are tuples indexed by target quad (``_TKEYS`` order).
-    ``blocks[target]`` is the target's gather blocks lane-CONCATENATED
-    into ONE wide aligned array (nz, H, nkeys*W) in ``gather_keys``
-    order (round 4: the DMA rate of a Pallas stream is set by its
-    per-(row, z) transfer width — scripts/micro_dma_probe measured 14
-    separate (nz, tj, W) block streams at ~230-240 GB/s but one wide
-    (nz, tj, nkeys*W) stream at 711 GB/s; in-kernel slicing at W-aligned
-    lane offsets recovers the individual blocks for free, and
-    concat-then-slice is bitwise the separate-arrays form).  Use
-    :func:`wide_slices` to view the individual (nz, H, W) blocks.
+    ``blocks[target]`` is the target's 12 BASE gather blocks
+    lane-CONCATENATED into ONE wide aligned array (nz, H, 12*W) in
+    ``gather_keys(False)`` order (round 4: the DMA rate of a Pallas
+    stream is set by its per-(row, z) transfer width — separate block
+    streams ran at ~1/3 the wide-aligned rate; in-kernel slicing at
+    W-aligned lane offsets recovers the individual blocks for free, and
+    concat-then-slice is bitwise the separate-arrays form).  The two
+    real-ONLY keys live in ``rblocks`` as their k=1 plane.  Use
+    :func:`block_views` for the per-key views in full
+    ``gather_keys(real)`` order.
 
     ``bet``/``gam`` are the precomputed Thomas pivots (ops/relax.
     thomas_factor): the smoothing hot path is division-free and skips the
